@@ -1,0 +1,234 @@
+"""1-D ResNet18 encoder/decoder backbones (pure-functional, channels-last).
+
+Re-design of the reference backbones (hippie/backbones.py:6-141) as explicit
+parameter/state pytrees + apply functions. The pytree structure mirrors the
+torch module tree one-to-one (nested dicts; Sequential indices as string keys)
+so the Lightning-checkpoint shim (hippie_tpu/train/checkpoint.py) can map
+``encoder.layer1.0.conv1.weight``-style keys mechanically.
+
+Shape contract (verified against torch in tests/test_backbones.py):
+  encoder  [B, L, 1]  -> [B, 2*z_dim]      (L=50: 25->25->13->7->4->pool)
+  decoder  [B, 2*z_dim] -> [B, out_len]    (1->4->8->16->32->32->64->linear)
+
+Apply functions take ``training`` (static) and an optional per-sample ``mask``
+for padded tail batches; they return ``(out, new_state)`` where state carries
+the BatchNorm running statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from hippie_tpu.nn import init as tinit
+from hippie_tpu.nn.functional import (
+    adaptive_avg_pool_to_1,
+    batch_norm,
+    batch_norm_init,
+    conv1d,
+    dense,
+    leaky_relu,
+    upsample_nearest,
+)
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _split(key, n):
+    return list(jax.random.split(key, n))
+
+
+def _basic_block_enc_init(key, in_planes: int, stride: int):
+    """Reference: BasicBlockEnc (backbones.py:19-41); planes = in_planes*stride."""
+    planes = in_planes * stride
+    ks = _split(key, 3)
+    p, s = {}, {}
+    p["conv1"] = tinit.conv1d_params(ks[0], 3, in_planes, planes, bias=False)
+    p["bn1"], s["bn1"] = batch_norm_init(planes)
+    p["conv2"] = tinit.conv1d_params(ks[1], 3, planes, planes, bias=False)
+    p["bn2"], s["bn2"] = batch_norm_init(planes)
+    if stride != 1:
+        p["shortcut"] = {"0": tinit.conv1d_params(ks[2], 1, in_planes, planes, bias=False)}
+        bnp, bns = batch_norm_init(planes)
+        p["shortcut"]["1"] = bnp
+        s["shortcut"] = {"1": bns}
+    return p, s
+
+
+def _resize_conv_init(key, in_ch: int, out_ch: int):
+    """Reference: ResizeConv1d (backbones.py:6-16) — nearest x2 then Conv1d k3 p1."""
+    return {"conv": tinit.conv1d_params(key, 3, in_ch, out_ch, bias=True)}
+
+
+def _basic_block_dec_init(key, in_planes: int, stride: int):
+    """Reference: BasicBlockDec (backbones.py:44-70); planes = in_planes//stride."""
+    planes = in_planes // stride
+    ks = _split(key, 3)
+    p, s = {}, {}
+    p["conv2"] = tinit.conv1d_params(ks[0], 3, in_planes, in_planes, bias=False)
+    p["bn2"], s["bn2"] = batch_norm_init(in_planes)
+    # Insertion order below mirrors torch registration order (conv1, bn1,
+    # shortcut) so the flattened key order matches a Lightning state_dict.
+    if stride == 1:
+        p["conv1"] = tinit.conv1d_params(ks[1], 3, in_planes, planes, bias=False)
+        p["bn1"], s["bn1"] = batch_norm_init(planes)
+    else:
+        p["conv1"] = _resize_conv_init(ks[1], in_planes, planes)
+        p["bn1"], s["bn1"] = batch_norm_init(planes)
+        p["shortcut"] = {"0": _resize_conv_init(ks[2], in_planes, planes)}
+        bnp, bns = batch_norm_init(planes)
+        p["shortcut"]["1"] = bnp
+        s["shortcut"] = {"1": bns}
+    return p, s
+
+
+def resnet18_enc_init(key, z_dim: int = 10, nc: int = 1, num_blocks=(2, 2, 2, 2)):
+    """Reference: ResNet18Enc.__init__ (backbones.py:73-92)."""
+    ks = _split(key, 6)
+    p, s = {}, {}
+    p["conv1"] = tinit.conv1d_params(ks[0], 3, nc, 64, bias=False)
+    p["bn1"], s["bn1"] = batch_norm_init(64)
+    in_planes = 64
+    for li, (planes, stride) in enumerate(
+        zip((64, 128, 256, 512), (1, 2, 2, 2)), start=1
+    ):
+        strides = [stride] + [1] * (num_blocks[li - 1] - 1)
+        lp, ls = {}, {}
+        bkeys = _split(ks[li], len(strides))
+        for bi, st in enumerate(strides):
+            lp[str(bi)], ls[str(bi)] = _basic_block_enc_init(bkeys[bi], in_planes, st)
+            in_planes = planes
+        p[f"layer{li}"], s[f"layer{li}"] = lp, ls
+    p["linear"] = tinit.dense_params(ks[5], 512, 2 * z_dim)
+    return p, s
+
+
+def resnet18_dec_init(key, z_dim: int = 10, output_size: int = 64, nc: int = 1, num_blocks=(2, 2, 2, 2)):
+    """Reference: ResNet18Dec.__init__ (backbones.py:106-126).
+
+    Note `_make_layer` iterates reversed(strides) (backbones.py:123): block 0 of
+    each stage is stride-1 at the incoming width, block 1 is the stride-2
+    upsampler that halves channels.
+    """
+    ks = _split(key, 7)
+    p, s = {}, {}
+    p["linear"] = tinit.dense_params(ks[0], 2 * z_dim, 512)
+    in_planes = 512
+    for idx, (li, planes, stride) in enumerate(
+        [(4, 256, 2), (3, 128, 2), (2, 64, 2), (1, 64, 1)]
+    ):
+        strides = [stride] + [1] * (num_blocks[li - 1] - 1)
+        lp, ls = {}, {}
+        bkeys = _split(ks[1 + idx], len(strides))
+        for bi, st in enumerate(reversed(strides)):
+            lp[str(bi)], ls[str(bi)] = _basic_block_dec_init(bkeys[bi], in_planes, st)
+            in_planes = in_planes // st
+        p[f"layer{li}"], s[f"layer{li}"] = lp, ls
+    p["conv1"] = _resize_conv_init(ks[5], 64, nc)
+    p["linear_out"] = tinit.dense_params(ks[6], 64, output_size)
+    return p, s
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+
+def _bn(x, p, s, name, training, mask):
+    if name in s:
+        y, new = batch_norm(x, p[name], s[name], training=training, mask=mask)
+        return y, {name: new}
+    raise KeyError(name)
+
+
+def _basic_block_enc_apply(p, s, x, *, stride: int, training: bool, mask):
+    out = conv1d(x, p["conv1"]["weight"], stride=stride, padding=1)
+    out, u1 = batch_norm(out, p["bn1"], s["bn1"], training=training, mask=mask)
+    out = leaky_relu(out)
+    out = conv1d(out, p["conv2"]["weight"], stride=1, padding=1)
+    out, u2 = batch_norm(out, p["bn2"], s["bn2"], training=training, mask=mask)
+    new_s = {"bn1": u1, "bn2": u2}
+    if stride == 1:
+        short = x
+    else:
+        short = conv1d(x, p["shortcut"]["0"]["weight"], stride=stride, padding=0)
+        short, u3 = batch_norm(
+            short, p["shortcut"]["1"], s["shortcut"]["1"], training=training, mask=mask
+        )
+        new_s["shortcut"] = {"1": u3}
+    out = leaky_relu(out + short)
+    return out, new_s
+
+
+def _resize_conv_apply(p, x, *, scale: int):
+    x = upsample_nearest(x, scale)
+    return conv1d(x, p["conv"]["weight"], p["conv"]["bias"], stride=1, padding=1)
+
+
+def _basic_block_dec_apply(p, s, x, *, stride: int, training: bool, mask):
+    out = conv1d(x, p["conv2"]["weight"], stride=1, padding=1)
+    out, u2 = batch_norm(out, p["bn2"], s["bn2"], training=training, mask=mask)
+    out = leaky_relu(out)
+    if stride == 1:
+        out = conv1d(out, p["conv1"]["weight"], stride=1, padding=1)
+    else:
+        out = _resize_conv_apply(p["conv1"], out, scale=stride)
+    out, u1 = batch_norm(out, p["bn1"], s["bn1"], training=training, mask=mask)
+    new_s = {"bn1": u1, "bn2": u2}
+    if stride == 1:
+        short = x
+    else:
+        short = _resize_conv_apply(p["shortcut"]["0"], x, scale=stride)
+        short, u3 = batch_norm(
+            short, p["shortcut"]["1"], s["shortcut"]["1"], training=training, mask=mask
+        )
+        new_s["shortcut"] = {"1": u3}
+    out = leaky_relu(out + short)
+    return out, new_s
+
+
+_ENC_STAGE_STRIDES = {1: (1, 1), 2: (2, 1), 3: (2, 1), 4: (2, 1)}
+_DEC_STAGE_STRIDES = {4: (1, 2), 3: (1, 2), 2: (1, 2), 1: (1, 1)}
+
+
+def resnet18_enc_apply(p, s, x, *, training: bool = False, mask: Optional[jax.Array] = None):
+    """x: [B, L, nc] -> [B, 2*z_dim]. Reference: ResNet18Enc.forward (backbones.py:94-103)."""
+    new_s = {}
+    out = conv1d(x, p["conv1"]["weight"], stride=2, padding=1)
+    out, new_s["bn1"] = batch_norm(out, p["bn1"], s["bn1"], training=training, mask=mask)
+    out = leaky_relu(out)
+    for li in (1, 2, 3, 4):
+        lname = f"layer{li}"
+        layer_s = {}
+        for bi, st in enumerate(_ENC_STAGE_STRIDES[li]):
+            out, layer_s[str(bi)] = _basic_block_enc_apply(
+                p[lname][str(bi)], s[lname][str(bi)], out, stride=st, training=training, mask=mask
+            )
+        new_s[lname] = layer_s
+    out = adaptive_avg_pool_to_1(out)
+    out = dense(out, p["linear"]["weight"], p["linear"]["bias"])
+    return out, new_s
+
+
+def resnet18_dec_apply(p, s, x, *, training: bool = False, mask: Optional[jax.Array] = None):
+    """x: [B, 2*z_dim] -> [B, out_len]. Reference: ResNet18Dec.forward (backbones.py:128-141)."""
+    new_s = {}
+    out = dense(x, p["linear"]["weight"], p["linear"]["bias"])  # [B, 512]
+    out = out[:, None, :]  # [B, 1, 512] channels-last; torch: [B, 512, 1]
+    out = upsample_nearest(out, 4)  # F.interpolate(scale_factor=4), nearest default
+    for li in (4, 3, 2, 1):
+        lname = f"layer{li}"
+        layer_s = {}
+        for bi, st in enumerate(_DEC_STAGE_STRIDES[li]):
+            out, layer_s[str(bi)] = _basic_block_dec_apply(
+                p[lname][str(bi)], s[lname][str(bi)], out, stride=st, training=training, mask=mask
+            )
+        new_s[lname] = layer_s
+    out = _resize_conv_apply(p["conv1"], out, scale=2)  # [B, 64, 1]
+    out = out.reshape(out.shape[0], -1)  # [B, 64]
+    out = dense(out, p["linear_out"]["weight"], p["linear_out"]["bias"])
+    return out, new_s
