@@ -1,0 +1,80 @@
+"""Headline benchmark: cVAE pretrain throughput (waveforms/sec/chip).
+
+Reproduces the reference's stage-1 workload — unimodal waveform cVAE
+(z_dim=10, ~8.06M params), batch 512, reference-scale epoch of 19,539 samples
+(SURVEY.md §6: the leave-cellexplorer-out pretraining pool) — as the
+epoch-as-scan jitted train loop, and measures steady-state training
+throughput on the current default JAX device.
+
+Baseline derivation (BASELINE.md): the reference publishes no numbers beyond
+"~45 minutes for train+inference on a consumer-grade GPU" (README.md:80).
+Attributing the entire 45 min to the six training passes over the pool
+(2 models x 3 stages x 19,539 samples) gives the most charitable reference
+throughput: 2*3*19539 / 2700 s = 43.4 waveforms/sec. ``vs_baseline`` is
+measured throughput / 43.4 (BASELINE.json target: > 20x).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_EPOCH_SAMPLES = 19_539
+BASELINE_WAVEFORMS_PER_SEC = 2 * 3 * REFERENCE_EPOCH_SAMPLES / 2700.0  # 43.42
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hippie_tpu.data.device_data import batch_plan
+    from hippie_tpu.models import cvae
+    from hippie_tpu.train import optim, step
+
+    batch_size = 512
+    n = REFERENCE_EPOCH_SAMPLES
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.normal(size=(n, 50)).astype(np.float32))
+    source = jnp.asarray(rng.integers(0, 5, size=n).astype(np.int32))
+
+    cfg = cvae.CVAEConfig(z_dim=10, output_size=50, class_hidden_dim=5, num_sources=5, num_classes=5)
+    params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(1e-3, 0.01, clip_val=None)
+    ts = step.TrainState(params, bn, tx.init(params))
+    train_epoch, _ = step.make_unimodal_epoch_fns(tx, beta=1.0, use_class_labels=False)
+
+    key = jax.random.PRNGKey(42)
+    idx, mask = batch_plan(np.arange(n), batch_size, shuffle=True, key=key)
+    idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+
+    # Warmup / compile.
+    ts, ms = train_epoch(ts, data, source, source, idx, mask, jax.random.fold_in(key, 0))
+    jax.block_until_ready(ms.loss)
+
+    epochs = 5
+    t0 = time.perf_counter()
+    for e in range(1, epochs + 1):
+        ts, ms = train_epoch(ts, data, source, source, idx, mask, jax.random.fold_in(key, e))
+    jax.block_until_ready(ms.loss)
+    dt = time.perf_counter() - t0
+
+    wps = epochs * n / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cvae_pretrain_waveforms_per_sec",
+                "value": round(wps, 1),
+                "unit": "waveforms/s/chip",
+                "vs_baseline": round(wps / BASELINE_WAVEFORMS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Dataset registry and CSV ingestion (the reference's on-disk data contract).
+
+Layout contract (SURVEY.md §2.5):
+  <data_root>/<name>/{waveforms,isi_dist,labels}.csv  (+optional metadata.csv)
+
+All reference loads use bare ``pd.read_csv`` (train_model.py:80-81), which
+ingests the pandas index column as feature 0 (quirk Q4) — we reproduce that
+bit-exactly by loading the same way. ``dropna(axis=1)`` is applied on the
+fine-tune/inference path only (train_model.py:166-169), mirroring quirk Q13.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+# Source-ID map (train_model.py:51-59). allenscope shares ID 3 with
+# cellexplorer; ID 0 is reserved for the inference-time dummy source.
+DATASET_SOURCE_IDS: Dict[str, int] = {
+    "extracellular-mouse-a1": 1,
+    "cellexplorer-celltype": 3,
+    "cellexplorer-area": 3,
+    "juxtacellular-mouse-s1-celltype": 4,
+    "juxtacellular-mouse-s1-area": 4,
+    "allenscope-neuropixel": 3,
+    "neonatal-mouse-brain-slice": 2,
+}
+
+NUM_SOURCES = max(DATASET_SOURCE_IDS.values()) + 1  # train_model.py:62
+
+
+def pretrain_pool(target_dataset: str, *, strict_leakage_guard: bool = False):
+    """Names of datasets used for pretraining a given target (leave-target-out).
+
+    Reference behavior (train_model.py:70-79): exact-match removal always; the
+    cellexplorer guard removes both cellexplorer datasets; the juxtacellular
+    guard is typo'd ("justacellular", quirk Q2) and never fires. Pass
+    ``strict_leakage_guard=True`` for the fixed behavior that also removes
+    sister juxtacellular datasets.
+    """
+    pool = dict(DATASET_SOURCE_IDS)
+    if "cellexplorer" in target_dataset:
+        pool.pop("cellexplorer-celltype", None)
+        pool.pop("cellexplorer-area", None)
+    if strict_leakage_guard and "juxtacellular" in target_dataset:
+        pool.pop("juxtacellular-mouse-s1-celltype", None)
+        pool.pop("juxtacellular-mouse-s1-area", None)
+    return [name for name in pool if name != target_dataset]
+
+
+def load_raw(data_root: str, name: str, *, dropna: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Load (waveforms, isi) raw arrays exactly as the reference does.
+
+    Keeps the CSV index column as feature 0 (quirk Q4).
+    """
+    wf = pd.read_csv(os.path.join(data_root, name, "waveforms.csv"))
+    isi = pd.read_csv(os.path.join(data_root, name, "isi_dist.csv"))
+    if dropna:
+        wf = wf.dropna(axis=1)
+        isi = isi.dropna(axis=1)
+    return wf.to_numpy(dtype=np.float32), isi.to_numpy(dtype=np.float32)
+
+
+@dataclass
+class LabelEncoder:
+    """sklearn-compatible label encoder (sorted unique classes -> codes)."""
+
+    classes_: np.ndarray
+
+    @classmethod
+    def fit(cls, labels) -> "LabelEncoder":
+        return cls(classes_=np.unique(np.asarray(labels)))
+
+    def transform(self, labels) -> np.ndarray:
+        idx = np.searchsorted(self.classes_, np.asarray(labels))
+        return idx.astype(np.int64)
+
+    def inverse_transform(self, codes) -> np.ndarray:
+        return self.classes_[np.asarray(codes, dtype=np.int64)]
+
+
+def load_supervised_labels(data_root: str, name: str):
+    """Labels for the supervised stage (train_model.py:275-283).
+
+    The reference reads ``labels.csv["label"]`` and crashes on every shipped
+    dataset because none has a ``label`` column (quirk Q5). We try "label"
+    first for contract compatibility, then fall back to the last non-index
+    column — the evident intent. Missing file -> all-zero labels, matching the
+    reference's else-branch.
+    Returns (encoded_labels int64 [N], encoder).
+    """
+    path = os.path.join(data_root, name, "labels.csv")
+    if not os.path.exists(path):
+        wf, _ = load_raw(data_root, name)
+        labels = np.zeros(len(wf))
+        return labels.astype(np.int64), LabelEncoder.fit(labels)
+    df = pd.read_csv(path)
+    if "label" in df.columns:
+        raw = df["label"].values
+    else:
+        # Fall back to the last column, skipping a pandas index column.
+        cols = [c for c in df.columns if not str(c).startswith("Unnamed")]
+        raw = df[cols[-1]].values if cols else df[df.columns[-1]].values
+    le = LabelEncoder.fit(raw)
+    return le.transform(raw), le
+
+
+def load_metadata(data_root: str, name: str) -> Optional[pd.DataFrame]:
+    path = os.path.join(data_root, name, "metadata.csv")
+    return pd.read_csv(path) if os.path.exists(path) else None
+
+
+def chip_finetune_split(metadata: pd.DataFrame):
+    """Earliest-10-timestamps rule for chip datasets (train_model.py:182-188)."""
+    dt = pd.to_datetime(metadata["datetime"]).dt.time
+    first_times = dt.sort_values().unique()[:10]
+    train_idx = metadata[dt.isin(first_times)].index.to_numpy()
+    test_idx = metadata[~dt.isin(first_times)].index.to_numpy()
+    return train_idx, test_idx

@@ -1,0 +1,79 @@
+"""Embedding extraction (reference: scripts/utils.py:74-98 get_embeddings and
+train_model_with_multimodal.py:22-34 get_embeddings_multimodal).
+
+Reference semantics kept:
+  - the embedding is ``out[0]`` — the deterministic z-dim ``encoded`` vector;
+  - per-sample z-score across the latent axis with the unbiased std
+    (torch ``.std(dim=1)``);
+  - joint = hstack(wave, isi) -> 2z dims.
+
+TPU-first change: extraction always runs in eval mode (running BN stats) in a
+single whole-dataset forward — batch-size independent, so no 128-sample
+loaders are needed. The reference's stage-2 extraction runs in train mode
+(quirk Q8), making its embeddings depend on batch composition; eval mode is
+the declared parity target (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hippie_tpu.models import cvae
+
+
+def zscore_rows(e: jax.Array) -> jax.Array:
+    """Per-sample standardization with unbiased std (scripts/utils.py:84-85)."""
+    mean = jnp.mean(e, axis=1, keepdims=True)
+    var = jnp.sum(jnp.square(e - mean), axis=1, keepdims=True) / (e.shape[1] - 1)
+    return (e - mean) / jnp.sqrt(var)
+
+
+@functools.partial(jax.jit, static_argnames=("use_class",))
+def _embed_unimodal(params, bn_state, data, source, class_, use_class: bool):
+    (enc, mu, logvar, dec), _ = cvae.unimodal_cvae_apply(
+        params, bn_state, data, source, class_ if use_class else None, training=False
+    )
+    return zscore_rows(enc)
+
+
+def embed_unimodal(params, bn_state, data, source, class_=None) -> jnp.ndarray:
+    """[N, L] -> z-scored [N, z] embeddings (single compiled forward)."""
+    dummy = source if class_ is None else class_
+    return _embed_unimodal(params, bn_state, data, source, dummy, class_ is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("use_class",))
+def _embed_multimodal(params, bn_state, wave, isi, source, class_, use_class: bool):
+    (enc, *_), _ = cvae.multimodal_cvae_apply(
+        params, bn_state, wave, isi, source, class_ if use_class else None, training=False
+    )
+    return zscore_rows(enc)
+
+
+def embed_multimodal(params, bn_state, wave, isi, source, class_=None) -> jnp.ndarray:
+    dummy = source if class_ is None else class_
+    return _embed_multimodal(params, bn_state, wave, isi, source, dummy, class_ is not None)
+
+
+def get_embeddings(
+    wave_tree: Tuple,
+    time_tree: Tuple,
+    wave: jax.Array,
+    isi: jax.Array,
+    source: jax.Array,
+    class_: Optional[jax.Array] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(wave_emb, isi_emb, joint) like scripts/utils.py:74-98.
+
+    ``*_tree`` are (params, bn_state) pairs of the two unimodal models.
+    """
+    e_wave = embed_unimodal(wave_tree[0], wave_tree[1], wave, source, class_)
+    e_time = embed_unimodal(time_tree[0], time_tree[1], isi, source, class_)
+    e_wave = np.asarray(e_wave)
+    e_time = np.asarray(e_time)
+    return e_wave, e_time, np.concatenate([e_wave, e_time], axis=1)

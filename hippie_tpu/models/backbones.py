@@ -191,12 +191,32 @@ def _basic_block_dec_apply(p, s, x, *, stride: int, training: bool, mask):
     return out, new_s
 
 
-_ENC_STAGE_STRIDES = {1: (1, 1), 2: (2, 1), 3: (2, 1), 4: (2, 1)}
-_DEC_STAGE_STRIDES = {4: (1, 2), 3: (1, 2), 2: (1, 2), 1: (1, 1)}
+def _enc_block_stride(bp) -> int:
+    """Infer an encoder block's stride from its conv1 kernel: planes =
+    in_planes * stride (backbones.py:22), so stride = C_out // C_in."""
+    k = bp["conv1"]["weight"]
+    return k.shape[2] // k.shape[1]
+
+
+def _dec_block_stride(bp) -> int:
+    """Decoder block stride: planes = in_planes // stride (backbones.py:48).
+    A stride!=1 block's conv1 is a ResizeConv1d ({'conv': ...})."""
+    if "conv" in bp["conv1"]:
+        k = bp["conv1"]["conv"]["weight"]
+        return k.shape[1] // k.shape[2]
+    return 1
+
+
+def _block_indices(layer_p) -> list:
+    return [str(i) for i in sorted(int(k) for k in layer_p)]
 
 
 def resnet18_enc_apply(p, s, x, *, training: bool = False, mask: Optional[jax.Array] = None):
-    """x: [B, L, nc] -> [B, 2*z_dim]. Reference: ResNet18Enc.forward (backbones.py:94-103)."""
+    """x: [B, L, nc] -> [B, 2*z_dim]. Reference: ResNet18Enc.forward (backbones.py:94-103).
+
+    Stage structure (block count / strides) is inferred from the parameter
+    tree, so shallower variants from ``num_blocks`` overrides work unchanged.
+    """
     new_s = {}
     out = conv1d(x, p["conv1"]["weight"], stride=2, padding=1)
     out, new_s["bn1"] = batch_norm(out, p["bn1"], s["bn1"], training=training, mask=mask)
@@ -204,9 +224,10 @@ def resnet18_enc_apply(p, s, x, *, training: bool = False, mask: Optional[jax.Ar
     for li in (1, 2, 3, 4):
         lname = f"layer{li}"
         layer_s = {}
-        for bi, st in enumerate(_ENC_STAGE_STRIDES[li]):
-            out, layer_s[str(bi)] = _basic_block_enc_apply(
-                p[lname][str(bi)], s[lname][str(bi)], out, stride=st, training=training, mask=mask
+        for bi in _block_indices(p[lname]):
+            bp = p[lname][bi]
+            out, layer_s[bi] = _basic_block_enc_apply(
+                bp, s[lname][bi], out, stride=_enc_block_stride(bp), training=training, mask=mask
             )
         new_s[lname] = layer_s
     out = adaptive_avg_pool_to_1(out)
@@ -223,9 +244,10 @@ def resnet18_dec_apply(p, s, x, *, training: bool = False, mask: Optional[jax.Ar
     for li in (4, 3, 2, 1):
         lname = f"layer{li}"
         layer_s = {}
-        for bi, st in enumerate(_DEC_STAGE_STRIDES[li]):
-            out, layer_s[str(bi)] = _basic_block_dec_apply(
-                p[lname][str(bi)], s[lname][str(bi)], out, stride=st, training=training, mask=mask
+        for bi in _block_indices(p[lname]):
+            bp = p[lname][bi]
+            out, layer_s[bi] = _basic_block_dec_apply(
+                bp, s[lname][bi], out, stride=_dec_block_stride(bp), training=training, mask=mask
             )
         new_s[lname] = layer_s
     out = _resize_conv_apply(p["conv1"], out, scale=2)  # [B, 64, 1]

@@ -33,13 +33,18 @@ from hippie_tpu.models.backbones import (
 
 
 class CVAEConfig(NamedTuple):
-    """Hyperparameters of a unimodal cVAE (reference model.py:13)."""
+    """Hyperparameters of a unimodal cVAE (reference model.py:13).
+
+    ``num_blocks`` selects the backbone depth per stage; (2, 2, 2, 2) is the
+    reference's ResNet18. Shallower variants exist for tests and small runs.
+    """
 
     z_dim: int = 10
     output_size: int = 50
     class_hidden_dim: int = 5
     num_sources: int = 5
     num_classes: int = 5
+    num_blocks: tuple = (2, 2, 2, 2)
 
 
 class MultiModalConfig(NamedTuple):
@@ -51,6 +56,7 @@ class MultiModalConfig(NamedTuple):
     class_hidden_dim: int = 5
     num_sources: int = 5
     num_classes: int = 5
+    num_blocks: tuple = (2, 2, 2, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -63,7 +69,7 @@ def unimodal_cvae_init(key, cfg: CVAEConfig):
     z, h = cfg.z_dim, cfg.class_hidden_dim
     ks = list(jax.random.split(key, 12))
     p, s = {}, {}
-    p["encoder"], s["encoder"] = resnet18_enc_init(ks[0], z_dim=z)
+    p["encoder"], s["encoder"] = resnet18_enc_init(ks[0], z_dim=z, num_blocks=cfg.num_blocks)
     # encoder_fc: Linear(2z+2h,2z) BN LeakyReLU(0.2) Linear(2z,z) BN LeakyReLU(0.2)
     efc, efc_s = {}, {}
     efc["0"] = tinit.dense_params(ks[1], 2 * z + 2 * h, 2 * z)
@@ -81,7 +87,9 @@ def unimodal_cvae_init(key, cfg: CVAEConfig):
     dfc["2"] = tinit.dense_params(ks[8], 2 * z, 2 * z)
     dfc["3"], dfc_s["3"] = batch_norm_init(2 * z)
     p["decoder_fc"], s["decoder_fc"] = dfc, dfc_s
-    p["decoder"], s["decoder"] = resnet18_dec_init(ks[9], z_dim=z, output_size=cfg.output_size)
+    p["decoder"], s["decoder"] = resnet18_dec_init(
+        ks[9], z_dim=z, output_size=cfg.output_size, num_blocks=cfg.num_blocks
+    )
     return p, s
 
 
@@ -167,8 +175,8 @@ def multimodal_cvae_init(key, cfg: MultiModalConfig):
     z, h = cfg.z_dim, cfg.class_hidden_dim
     ks = list(jax.random.split(key, 12))
     p, s = {}, {}
-    p["encoder_mod1"], s["encoder_mod1"] = resnet18_enc_init(ks[0], z_dim=z)
-    p["encoder_mod2"], s["encoder_mod2"] = resnet18_enc_init(ks[1], z_dim=z)
+    p["encoder_mod1"], s["encoder_mod1"] = resnet18_enc_init(ks[0], z_dim=z, num_blocks=cfg.num_blocks)
+    p["encoder_mod2"], s["encoder_mod2"] = resnet18_enc_init(ks[1], z_dim=z, num_blocks=cfg.num_blocks)
     # fusion_encoder: Linear(4z+2h,2z) BN LeakyReLU(0.2) Linear(2z,z)
     fus, fus_s = {}, {}
     fus["0"] = tinit.dense_params(ks[2], 4 * z + 2 * h, 2 * z)
@@ -190,7 +198,9 @@ def multimodal_cvae_init(key, cfg: MultiModalConfig):
         p[f"decoder_fc_{mod}"], s[f"decoder_fc_{mod}"] = dfc, dfc_s
     for mod, k2 in (("mod1", ks[9]), ("mod2", ks[11])):
         out_size = cfg.output_size_wave if mod == "mod1" else cfg.output_size_isi
-        p[f"decoder_{mod}"], s[f"decoder_{mod}"] = resnet18_dec_init(k2, z_dim=z, output_size=out_size)
+        p[f"decoder_{mod}"], s[f"decoder_{mod}"] = resnet18_dec_init(
+            k2, z_dim=z, output_size=out_size, num_blocks=cfg.num_blocks
+        )
     return p, s
 
 

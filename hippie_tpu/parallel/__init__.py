@@ -1,0 +1,1 @@
+from hippie_tpu.parallel import mesh  # noqa: F401

@@ -1,0 +1,122 @@
+"""Training loop: epochs, early stopping, best-checkpoint tracking.
+
+Replaces the pl.Trainer layer (reference L3, SURVEY.md §1). Semantics kept:
+  - per-epoch validation; monitored metric is the unweighted mean of per-batch
+    val losses (Lightning's default epoch aggregation of ``self.log``);
+  - ModelCheckpoint(monitor="val_loss", save_top_k=1, mode="min")
+    (train_model.py:125-126): best state is snapshotted whenever val_loss
+    strictly improves;
+  - EarlyStopping(patience, mode="min", min_delta=0) (train_model.py:127-128);
+  - limit_train_batches / limit_val_batches as fractions or counts
+    (train_model.py:39-40).
+
+The loop body is host-side orchestration only; each epoch is a single jitted
+scan (hippie_tpu/train/step.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def limit_batches(plan, limit):
+    """Apply a Lightning-style limit (None | float fraction | int count)."""
+    idx, mask = plan
+    if limit is None:
+        return idx, mask
+    nb = idx.shape[0]
+    n = max(1, int(limit * nb)) if isinstance(limit, float) and limit <= 1.0 else int(limit)
+    n = min(nb, max(1, n))
+    return idx[:n], mask[:n]
+
+
+@dataclass
+class FitResult:
+    state: Any  # final TrainState
+    best_params: Any
+    best_bn_state: Any
+    best_val_loss: float
+    best_epoch: int
+    epochs_run: int
+    best_opt_state: Any = None
+    train_losses: List[float] = field(default_factory=list)
+    val_losses: List[float] = field(default_factory=list)
+
+
+def fit(
+    state,
+    *,
+    run_train_epoch: Callable[[Any, Any, int], tuple],
+    run_val_epoch: Callable[[Any, Any, int], Any],
+    max_epochs: int,
+    early_stopping_patience: Optional[int] = None,
+    seed: int = 42,
+    log_fn: Optional[Callable[[dict], None]] = None,
+    verbose: bool = True,
+) -> FitResult:
+    """Generic fit driver.
+
+    run_train_epoch(state, key, epoch) -> (state, metrics)   # metrics.loss [nb]
+    run_val_epoch(state, key, epoch)   -> metrics            # metrics.loss [nb]
+    """
+    root = jax.random.PRNGKey(seed)
+    best_val = math.inf
+    best_epoch = -1
+    best_params = state.params
+    best_bn = state.bn_state
+    best_opt = state.opt_state
+    wait = 0
+    train_losses, val_losses = [], []
+
+    epochs_run = 0
+    for epoch in range(max_epochs):
+        tkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 1)
+        vkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 2)
+        state, tms = run_train_epoch(state, tkey, epoch)
+        vms = run_val_epoch(state, vkey, epoch)
+        train_loss = float(np.mean(np.asarray(tms.loss)))
+        val_loss = float(np.mean(np.asarray(vms.loss)))
+        train_losses.append(train_loss)
+        val_losses.append(val_loss)
+        epochs_run = epoch + 1
+        if verbose:
+            # Matches the reference's per-epoch prints (model.py:141-149).
+            print(f"Average training loss is {train_loss:.2f}")
+            print(f"Average validation loss is {val_loss:.2f}")
+        if log_fn is not None:
+            log_fn({"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss})
+
+        if val_loss < best_val:
+            best_val = val_loss
+            best_epoch = epoch
+            # Real device copies: the live state's buffers get donated to the
+            # next epoch's jit call, which would invalidate mere aliases.
+            best_params = jax.tree_util.tree_map(jnp.copy, state.params)
+            best_bn = jax.tree_util.tree_map(jnp.copy, state.bn_state)
+            best_opt = jax.tree_util.tree_map(jnp.copy, state.opt_state)
+            wait = 0
+        else:
+            wait += 1
+            if early_stopping_patience is not None and wait >= early_stopping_patience:
+                break
+
+    if best_epoch < 0:  # no validation ran (max_epochs=0)
+        best_params, best_bn, best_opt = state.params, state.bn_state, state.opt_state
+
+    return FitResult(
+        state=state,
+        best_params=best_params,
+        best_bn_state=best_bn,
+        best_val_loss=best_val,
+        best_epoch=best_epoch,
+        epochs_run=epochs_run,
+        best_opt_state=best_opt,
+        train_losses=train_losses,
+        val_losses=val_losses,
+    )

@@ -1,0 +1,159 @@
+"""Optimizers with torch-matching semantics + optimizer-state ckpt interop.
+
+The reference uses plain ``optim.AdamW(lr, weight_decay)`` everywhere
+(hippie/model.py:93,262 — the imported AdamWScheduleFree is never used, quirk
+Q9), with Lightning global-norm gradient clipping on some trainers (quirk Q7).
+
+optax.adamw(b1=0.9, b2=0.999, eps=1e-8) is update-for-update identical to
+torch AdamW (decoupled decay applied at the old params, bias-corrected
+moments, eps outside the sqrt) — verified in tests/test_train_step.py.
+
+Optimizer state travels in Lightning ckpts as ``optimizer_states[0]``
+(train_model.py:394,398); this module converts optax's ScaleByAdamState to and
+from that torch layout using the parameter ordering from
+checkpoint.parameter_key_order.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hippie_tpu.train import checkpoint as ckpt_mod
+
+
+def make_optimizer(
+    learning_rate: float,
+    weight_decay: float = 0.01,
+    clip_val: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """AdamW(+ optional global-norm clipping) matching torch/Lightning."""
+    chain = []
+    if clip_val is not None:
+        chain.append(optax.clip_by_global_norm(clip_val))
+    chain.append(
+        optax.adamw(
+            learning_rate=learning_rate,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=weight_decay,
+        )
+    )
+    return optax.chain(*chain)
+
+
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState inside an optax chain state."""
+    found = []
+
+    def visit(node):
+        if hasattr(node, "mu") and hasattr(node, "nu") and hasattr(node, "count"):
+            found.append(node)
+            return
+        if isinstance(node, (tuple, list)):
+            for child in node:
+                visit(child)
+
+    visit(opt_state)
+    if not found:
+        raise ValueError("no ScaleByAdamState found in optimizer state")
+    return found[0]
+
+
+def _replace_adam_state(opt_state, new_adam):
+    def visit(node):
+        if hasattr(node, "mu") and hasattr(node, "nu") and hasattr(node, "count"):
+            return new_adam
+        if isinstance(node, tuple) and not hasattr(node, "_fields"):
+            return tuple(visit(c) for c in node)
+        if hasattr(node, "_fields"):  # other namedtuples: leave untouched
+            return node
+        if isinstance(node, list):
+            return [visit(c) for c in node]
+        return node
+
+    return visit(opt_state)
+
+
+def adamw_state_to_torch(
+    opt_state,
+    params: dict,
+    state: Optional[dict],
+    *,
+    lr: float,
+    weight_decay: float,
+) -> dict:
+    """optax state -> torch AdamW state-dict layout for ``optimizer_states[0]``.
+
+    Parameter indices follow torch ``model.parameters()`` order; moment
+    tensors get torch layouts (conv [O,I,K], linear [out,in]).
+    """
+    adam = _find_adam_state(opt_state)
+    keys = ckpt_mod.parameter_key_order(params, state)
+    mu_flat = ckpt_mod.flatten_interleaved(adam.mu, None)
+    nu_flat = ckpt_mod.flatten_interleaved(adam.nu, None)
+    step = int(adam.count)
+    torch_state = {}
+    for i, k in enumerate(keys):
+        torch_state[i] = {
+            "step": np.asarray(step, dtype=np.float32),
+            "exp_avg": ckpt_mod._to_torch_layout(k, np.asarray(mu_flat[k])),
+            "exp_avg_sq": ckpt_mod._to_torch_layout(k, np.asarray(nu_flat[k])),
+        }
+    return {
+        "state": torch_state,
+        "param_groups": [
+            {
+                "lr": lr,
+                "betas": (0.9, 0.999),
+                "eps": 1e-8,
+                "weight_decay": weight_decay,
+                "amsgrad": False,
+                "maximize": False,
+                "foreach": None,
+                "capturable": False,
+                "differentiable": False,
+                "fused": None,
+                "params": list(range(len(keys))),
+            }
+        ],
+    }
+
+
+def adamw_state_from_torch(
+    torch_opt_sd: dict,
+    opt_state,
+    params_template: dict,
+    state_template: Optional[dict],
+):
+    """torch AdamW state dict -> optax state (inverse of adamw_state_to_torch)."""
+    adam = _find_adam_state(opt_state)
+    keys = ckpt_mod.parameter_key_order(params_template, state_template)
+    per_param = torch_opt_sd["state"]
+    if not per_param:
+        return opt_state
+    mu_flat, nu_flat = {}, {}
+    step = 0
+    for i, k in enumerate(keys):
+        entry = per_param.get(i, per_param.get(str(i)))
+        if entry is None:
+            continue
+        ea = entry["exp_avg"]
+        eas = entry["exp_avg_sq"]
+        ea = ea.detach().cpu().numpy() if hasattr(ea, "detach") else np.asarray(ea)
+        eas = eas.detach().cpu().numpy() if hasattr(eas, "detach") else np.asarray(eas)
+        mu_flat[k] = ckpt_mod._from_torch_layout(k, ea)
+        nu_flat[k] = ckpt_mod._from_torch_layout(k, eas)
+        st = entry.get("step", 0)
+        step = int(st.item() if hasattr(st, "item") else st)
+    new_mu, _, _, missing_mu = ckpt_mod.unflatten_to(adam.mu, {}, mu_flat)
+    new_nu, _, _, _ = ckpt_mod.unflatten_to(adam.nu, {}, nu_flat)
+    new_adam = adam._replace(
+        count=jnp.asarray(step, dtype=adam.count.dtype), mu=new_mu, nu=new_nu
+    )
+    return _replace_adam_state(opt_state, new_adam)

@@ -1,0 +1,695 @@
+"""The 3-stage HIPPIE pipeline: pretrain -> unsupervised fine-tune -> supervised.
+
+Re-design of scripts/train_model.py (unimodal, two models) and the multimodal
+branch of scripts/train_model_with_multimodal.py:618-971 as a library driver
+on top of the epoch-as-scan training stack. Output filenames, CSV schemas and
+checkpoint contracts match the reference; faithfulness notes:
+
+  - leave-target-out pool assembly incl. quirk Q2 default (registry.pretrain_pool);
+  - grad-clip asymmetry (quirk Q7): unimodal wave trainer unclipped in stages
+    1-2, time trainer clipped; both clipped in stage 3; multimodal always
+    clipped;
+  - beta: the unimodal wrappers are constructed without beta (quirk Q6 — beta
+    stays 1 regardless of --beta); multimodal gets cfg.beta;
+  - stage-2 keeps the ModelCheckpoint callback from stage 1 (train_model.py:
+    214-233): best-ckpt tracking carries ACROSS stages 1-2, so stage 3 may
+    load a stage-1 checkpoint if fine-tuning never improved val_loss;
+  - unimodal stage-2 embeddings come from the last-epoch model on the
+    fine-tune train split (train_model.py:235-237); multimodal reloads the
+    best ckpt and embeds the fine-tune *test* split (…multimodal.py:773-777);
+  - stage 3 rebuilds models with num_classes from the training split, loads
+    the cross-stage best ckpt minus class_embedding (quirk Q10), balanced-
+    oversampled batches, lr/10.
+
+RNG: torch's global-generator splits cannot be bit-matched; all splits and
+shuffles derive from jax.random with the --seed flag (default 42).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from hippie_tpu.data import device_data, registry, sampling
+from hippie_tpu.data.device_data import ArrayDataset, batch_plan, train_val_split
+from hippie_tpu.evaluate import embeddings as emb
+from hippie_tpu.evaluate import knn_eval, metrics
+from hippie_tpu.models import cvae
+from hippie_tpu.ops import preprocess
+from hippie_tpu.train import checkpoint as ckpt_mod
+from hippie_tpu.train import loop, optim, step
+
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the reference CLI flags (train_model.py:20-42 + multimodal)."""
+
+    z_dim: int = 5
+    weight_decay: float = 0.01
+    learning_rate: float = 0.001
+    beta: float = 1.0
+    dataset: str = "cellexplorer-celltype"
+    finetune_without_labels: bool = True
+    pretrain_max_epochs: int = 1
+    finetune_max_epochs: int = 1
+    supervised_max_epochs: int = 1
+    batch_size: int = 512
+    supervised_batch_size: int = 64
+    early_stopping_patience: int = 30
+    gradient_clip_val: float = 1.0
+    train_val_split: float = 0.8
+    finetune_split: float = 0.1
+    limit_train_batches: Optional[float] = None
+    limit_val_batches: Optional[float] = None
+    model_type: str = "unimodal"  # or "multimodal"
+    mod1_weight: float = 1.0
+    mod2_weight: float = 1.0
+    data_root: str = "datasets"
+    output_dir: str = "."
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 42
+    class_hidden_dim: int = 5
+    strict_leakage_guard: bool = False
+    verbose: bool = True
+    log_fn: Any = None  # optional callable(dict)
+
+
+# ---------------------------------------------------------------------------
+# Data assembly
+# ---------------------------------------------------------------------------
+
+
+def load_dataset(cfg: PipelineConfig, name: str, *, dropna: bool = False) -> ArrayDataset:
+    """Load + preprocess one dataset to device-resident arrays."""
+    wf, isi = registry.load_raw(cfg.data_root, name, dropna=dropna)
+    wave, isi_p = preprocess.preprocess_pair(jnp.asarray(wf), jnp.asarray(isi))
+    src = jnp.full((wf.shape[0],), registry.DATASET_SOURCE_IDS.get(name, 0), jnp.int32)
+    return ArrayDataset(wave=wave, isi=isi_p, source=src)
+
+
+def load_pretrain_pool(cfg: PipelineConfig) -> ArrayDataset:
+    """Leave-target-out pool (train_model.py:64-100)."""
+    names = registry.pretrain_pool(cfg.dataset, strict_leakage_guard=cfg.strict_leakage_guard)
+    parts = []
+    for name in names:
+        try:
+            part = load_dataset(cfg, name)
+        except FileNotFoundError:
+            if cfg.verbose:
+                print(f"Folder {name} missing data files; skipping")
+            continue
+        if cfg.verbose:
+            print(f"Folder {name} has shapes {tuple(part.wave.shape)} and {tuple(part.isi.shape)}")
+        parts.append(part)
+    if not parts:
+        raise RuntimeError("no pretraining datasets available")
+    ds = ArrayDataset.concat(parts)
+    if cfg.verbose:
+        print(f"Total waveforms {len(ds)} and total isi {len(ds)}")
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Stage runner helpers
+# ---------------------------------------------------------------------------
+
+
+def _fork_state(params, bn, tx) -> step.TrainState:
+    """Fresh TrainState with device COPIES of params/bn.
+
+    Stage epochs donate their input buffers; seeding a stage with aliases of a
+    tracker's best trees would invalidate the tracker (and anything else
+    holding those arrays) on the first donated step.
+    """
+    params = jax.tree_util.tree_map(jnp.copy, params)
+    bn = jax.tree_util.tree_map(jnp.copy, bn)
+    return step.TrainState(params, bn, tx.init(params))
+
+
+class BestTracker:
+    """ModelCheckpoint(save_top_k=1, mode='min') semantics, shareable across
+    stages like the reference's reused callback object."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.best_val = math.inf
+        self.best_params = None
+        self.best_bn = None
+        self.best_opt_torch = None
+
+    def update_from_fit(self, result: loop.FitResult, params_template, opt_meta):
+        if result.best_epoch >= 0 and result.best_val_loss < self.best_val:
+            self.best_val = result.best_val_loss
+            self.best_params = result.best_params
+            self.best_bn = result.best_bn_state
+            lr, wd = opt_meta
+            self.best_opt_torch = optim.adamw_state_to_torch(
+                result.best_opt_state, result.best_params, result.best_bn_state,
+                lr=lr, weight_decay=wd,
+            )
+            ordered_p = ckpt_mod.reorder_like(params_template[0], self.best_params)
+            ordered_s = ckpt_mod.reorder_like(params_template[1], self.best_bn)
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            ckpt_mod.save_lightning_ckpt(
+                self.path, ordered_p, ordered_s, optimizer_state=self.best_opt_torch
+            )
+            return True
+        return False
+
+
+def _fit_unimodal_stage(
+    *,
+    cfg: PipelineConfig,
+    ts: step.TrainState,
+    tx,
+    data: jnp.ndarray,
+    source: jnp.ndarray,
+    class_: jnp.ndarray,
+    train_indices: np.ndarray,
+    val_indices: np.ndarray,
+    batch_size: int,
+    max_epochs: int,
+    beta: float,
+    use_class_labels: bool,
+    shuffle_train: bool,
+    fixed_train_stream: Optional[np.ndarray] = None,
+    stage_seed: int = 0,
+) -> loop.FitResult:
+    """One Trainer.fit equivalent for a unimodal model."""
+    train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
+        tx, beta=beta, use_class_labels=use_class_labels
+    )
+    val_plan = loop.limit_batches(
+        batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
+    )
+    val_idx, val_mask = jnp.asarray(val_plan[0]), jnp.asarray(val_plan[1])
+
+    def run_train(state, key, epoch):
+        stream = fixed_train_stream if fixed_train_stream is not None else train_indices
+        plan = batch_plan(
+            stream, batch_size, shuffle=shuffle_train, key=jax.random.fold_in(key, 0)
+        )
+        idx, mask = loop.limit_batches(plan, cfg.limit_train_batches)
+        return train_epoch(
+            state, data, source, class_, jnp.asarray(idx), jnp.asarray(mask),
+            jax.random.fold_in(key, 1),
+        )
+
+    def run_val(state, key, epoch):
+        return eval_epoch(
+            state.params, state.bn_state, data, source, class_, val_idx, val_mask, key
+        )
+
+    return loop.fit(
+        ts,
+        run_train_epoch=run_train,
+        run_val_epoch=run_val,
+        max_epochs=max_epochs,
+        early_stopping_patience=cfg.early_stopping_patience,
+        seed=cfg.seed + stage_seed,
+        verbose=cfg.verbose,
+        log_fn=cfg.log_fn,
+    )
+
+
+def _fit_multimodal_stage(
+    *,
+    cfg: PipelineConfig,
+    ts: step.TrainState,
+    tx,
+    wave: jnp.ndarray,
+    isi: jnp.ndarray,
+    source: jnp.ndarray,
+    class_: jnp.ndarray,
+    train_indices: np.ndarray,
+    val_indices: np.ndarray,
+    batch_size: int,
+    max_epochs: int,
+    use_class_labels: bool,
+    shuffle_train: bool,
+    fixed_train_stream: Optional[np.ndarray] = None,
+    stage_seed: int = 0,
+) -> loop.FitResult:
+    train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
+        tx,
+        beta=cfg.beta,
+        mod1_weight=cfg.mod1_weight,
+        mod2_weight=cfg.mod2_weight,
+        use_class_labels=use_class_labels,
+    )
+    val_plan = loop.limit_batches(
+        batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
+    )
+    val_idx, val_mask = jnp.asarray(val_plan[0]), jnp.asarray(val_plan[1])
+
+    def run_train(state, key, epoch):
+        stream = fixed_train_stream if fixed_train_stream is not None else train_indices
+        plan = batch_plan(
+            stream, batch_size, shuffle=shuffle_train, key=jax.random.fold_in(key, 0)
+        )
+        idx, mask = loop.limit_batches(plan, cfg.limit_train_batches)
+        return train_epoch(
+            state, wave, isi, source, class_, jnp.asarray(idx), jnp.asarray(mask),
+            jax.random.fold_in(key, 1),
+        )
+
+    def run_val(state, key, epoch):
+        return eval_epoch(
+            state.params, state.bn_state, wave, isi, source, class_, val_idx, val_mask, key
+        )
+
+    return loop.fit(
+        ts,
+        run_train_epoch=run_train,
+        run_val_epoch=run_val,
+        max_epochs=max_epochs,
+        early_stopping_patience=cfg.early_stopping_patience,
+        seed=cfg.seed + stage_seed,
+        verbose=cfg.verbose,
+        log_fn=cfg.log_fn,
+    )
+
+
+def _finetune_split_indices(cfg: PipelineConfig, n: int, key) -> Tuple[np.ndarray, np.ndarray]:
+    """10%/90% fine-tune split, or the chip earliest-timestamps rule
+    (train_model.py:179-190)."""
+    meta = registry.load_metadata(cfg.data_root, cfg.dataset)
+    if meta is not None and "chip" in cfg.dataset:
+        return registry.chip_finetune_split(meta)
+    return train_val_split(n, cfg.finetune_split, key)
+
+
+# ---------------------------------------------------------------------------
+# CSV export helpers (reference file contracts)
+# ---------------------------------------------------------------------------
+
+
+def export_pretraining_embeddings(cfg: PipelineConfig, tagged: Dict[str, np.ndarray]):
+    """pretraining_<ds>_<kind>_embeddings.csv with the reference's single
+    'embeddings' object column (train_model.py:249-264)."""
+    paths = {}
+    for kind, arr in tagged.items():
+        df = pd.DataFrame({"embeddings": [np.asarray(r) for r in arr]})
+        path = os.path.join(cfg.output_dir, f"pretraining_{cfg.dataset}_{kind}_embeddings.csv")
+        df.to_csv(path)
+        paths[kind] = path
+    return paths
+
+
+def export_knn_csv(cfg: PipelineConfig, kind: str, pred, true, le) -> str:
+    df = pd.DataFrame({"pred": le.inverse_transform(pred), "true": le.inverse_transform(true)})
+    path = os.path.join(cfg.output_dir, f"{cfg.dataset}_{kind}_knn.csv")
+    df.to_csv(path)
+    return path
+
+
+def export_embeddings_csv(cfg: PipelineConfig, kind: str, embeddings, labels, le) -> str:
+    df = pd.DataFrame(np.asarray(embeddings))
+    df["label"] = le.inverse_transform(labels)
+    path = os.path.join(cfg.output_dir, f"{cfg.dataset}_{kind}_embeddings.csv")
+    df.to_csv(path)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Unimodal pipeline (scripts/train_model.py)
+# ---------------------------------------------------------------------------
+
+
+def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    root = jax.random.PRNGKey(cfg.seed)
+
+    # ---------------- Stage 1: leave-target-out pretraining ----------------
+    pool = load_pretrain_pool(cfg)
+    tr_idx, va_idx = train_val_split(len(pool), cfg.train_val_split, jax.random.fold_in(root, 0))
+
+    num_sources = registry.NUM_SOURCES
+    trackers: Dict[str, BestTracker] = {}
+    states: Dict[str, step.TrainState] = {}
+    templates: Dict[str, Tuple] = {}
+    txs: Dict[str, Any] = {}
+
+    for mi, modality in enumerate(("wave", "time")):
+        out_size = 50 if modality == "wave" else 100
+        data = pool.wave if modality == "wave" else pool.isi
+        # Quirk Q7: the wave pretrain/finetune trainer has no grad clipping.
+        clip = None if modality == "wave" else cfg.gradient_clip_val
+        cfg_m = cvae.CVAEConfig(
+            z_dim=cfg.z_dim, output_size=out_size, class_hidden_dim=cfg.class_hidden_dim,
+            num_sources=num_sources, num_classes=5,
+        )
+        params, bn = cvae.unimodal_cvae_init(jax.random.fold_in(root, 100 + mi), cfg_m)
+        templates[modality] = cvae.unimodal_cvae_init(jax.random.fold_in(root, 100 + mi), cfg_m)
+        tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip)
+        txs[modality] = tx
+        ts = step.TrainState(params, bn, tx.init(params))
+        tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
+        if cfg.verbose:
+            print(f"[stage 1] pretraining {modality} model ({cvae.param_count(params):,} params)")
+        result = _fit_unimodal_stage(
+            cfg=cfg, ts=ts, tx=tx, data=data, source=pool.source, class_=pool.source,
+            train_indices=tr_idx, val_indices=va_idx, batch_size=cfg.batch_size,
+            max_epochs=cfg.pretrain_max_epochs, beta=1.0,  # quirk Q6
+            use_class_labels=False, shuffle_train=True, stage_seed=10 + mi,
+        )
+        tracker.update_from_fit(result, templates[modality], (cfg.learning_rate, cfg.weight_decay))
+        # Reference reloads the best ckpt after stage 1 (train_model.py:160-163).
+        states[modality] = step.TrainState(tracker.best_params, tracker.best_bn, None)
+        trackers[modality] = tracker
+
+    # ---------------- Stage 2: unsupervised fine-tune on the target --------
+    target = load_dataset(cfg, cfg.dataset, dropna=True)  # quirk Q13
+    target_source_id = registry.DATASET_SOURCE_IDS.get(cfg.dataset, 0)
+    target = ArrayDataset(
+        wave=target.wave, isi=target.isi,
+        source=jnp.full((len(target),), target_source_id, jnp.int32),
+    )
+
+    ft_lr = cfg.learning_rate / 10.0
+    if cfg.finetune_without_labels:
+        ft_tr, ft_va = _finetune_split_indices(cfg, len(target), jax.random.fold_in(root, 1))
+        for mi, modality in enumerate(("wave", "time")):
+            data = target.wave if modality == "wave" else target.isi
+            clip = None if modality == "wave" else cfg.gradient_clip_val
+            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, clip)
+            st = states[modality]
+            ts = _fork_state(st.params, st.bn_state, tx)
+            if cfg.verbose:
+                print(f"[stage 2] fine-tuning {modality} model on {cfg.dataset} (lr={ft_lr})")
+            result = _fit_unimodal_stage(
+                cfg=cfg, ts=ts, tx=tx, data=data, source=target.source, class_=target.source,
+                train_indices=ft_tr, val_indices=ft_va, batch_size=cfg.batch_size,
+                max_epochs=cfg.finetune_max_epochs, beta=1.0, use_class_labels=False,
+                shuffle_train=False,  # reference uses shuffle=False here (train_model.py:198-199)
+                stage_seed=20 + mi,
+            )
+            trackers[modality].update_from_fit(result, templates[modality], (ft_lr, cfg.weight_decay))
+            # Unimodal stage-2 embeddings use the LAST-epoch model (train_model.py:235).
+            states[modality] = step.TrainState(result.state.params, result.state.bn_state, None)
+        emb_idx = jnp.asarray(ft_tr)
+    else:
+        emb_idx = jnp.arange(len(target))
+
+    wave_tree = (states["wave"].params, states["wave"].bn_state)
+    time_tree = (states["time"].params, states["time"].bn_state)
+    ft_wave_emb, ft_isi_emb, ft_joint_emb = emb.get_embeddings(
+        wave_tree, time_tree,
+        target.wave[emb_idx], target.isi[emb_idx], target.source[emb_idx],
+    )
+    pretrain_paths = export_pretraining_embeddings(
+        cfg, {"waveform": ft_wave_emb, "isi": ft_isi_emb, "joint": ft_joint_emb}
+    )
+
+    # ---------------- Stage 3: supervised with class conditioning ----------
+    sup_wf, sup_isi = registry.load_raw(cfg.data_root, cfg.dataset)  # no dropna (Q13)
+    sup_wave, sup_isi_p = preprocess.preprocess_pair(jnp.asarray(sup_wf), jnp.asarray(sup_isi))
+    sup_labels, le = registry.load_supervised_labels(cfg.data_root, cfg.dataset)
+
+    n = len(sup_wf)
+    s_tr, s_va = train_val_split(n, cfg.train_val_split, jax.random.fold_in(root, 2))
+    label_train = sup_labels[s_tr]
+    label_val = sup_labels[s_va]
+    num_class_labels = int(len(np.unique(label_train)))
+
+    labels_dev = jnp.asarray(sup_labels.astype(np.int32))
+    source_dev = jnp.full((n,), target_source_id, jnp.int32)
+
+    sup_states: Dict[str, step.TrainState] = {}
+    sup_trackers: Dict[str, BestTracker] = {}
+    for mi, modality in enumerate(("wave", "time")):
+        out_size = 50 if modality == "wave" else 100
+        data = sup_wave if modality == "wave" else sup_isi_p
+        cfg_m = cvae.CVAEConfig(
+            z_dim=cfg.z_dim, output_size=out_size, class_hidden_dim=cfg.class_hidden_dim,
+            num_sources=num_sources, num_classes=num_class_labels,
+        )
+        template = cvae.unimodal_cvae_init(jax.random.fold_in(root, 200 + mi), cfg_m)
+        # Load the cross-stage best ckpt minus the class embedding (quirk Q10).
+        loaded = ckpt_mod.load_lightning_ckpt(trackers[modality].path)
+        params, bn, _, _ = ckpt_mod.from_torch_state_dict(
+            loaded["state_dict"], template[0], template[1],
+            drop_keys=("class_embedding.weight",),
+        )
+        tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
+        ts = step.TrainState(params, bn, tx.init(params))
+        stream = sampling.balanced_indices(label_train, seed=cfg.seed)
+        train_stream = np.asarray(s_tr)[stream]
+        tracker = BestTracker(
+            os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model_supervised.ckpt")
+        )
+        if cfg.verbose:
+            print(f"[stage 3] supervised {modality} training ({num_class_labels} classes)")
+        result = _fit_unimodal_stage(
+            cfg=cfg, ts=ts, tx=tx, data=data, source=source_dev, class_=labels_dev,
+            train_indices=np.asarray(s_tr), val_indices=np.asarray(s_va),
+            batch_size=cfg.supervised_batch_size, max_epochs=cfg.supervised_max_epochs,
+            beta=1.0, use_class_labels=True, shuffle_train=False,
+            fixed_train_stream=train_stream, stage_seed=30 + mi,
+        )
+        tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
+        best_p = tracker.best_params if tracker.best_params is not None else result.state.params
+        best_bn = tracker.best_bn if tracker.best_bn is not None else result.state.bn_state
+        sup_states[modality] = step.TrainState(best_p, best_bn, None)
+        sup_trackers[modality] = tracker
+
+    # ---------------- Evaluation: embeddings + KNN sweep --------------------
+    wave_tree = (sup_states["wave"].params, sup_states["wave"].bn_state)
+    time_tree = (sup_states["time"].params, sup_states["time"].bn_state)
+
+    tr_idx_dev = jnp.asarray(s_tr)
+    va_idx_dev = jnp.asarray(s_va)
+    wave_tr, isi_tr, joint_tr = emb.get_embeddings(
+        wave_tree, time_tree, sup_wave[tr_idx_dev], sup_isi_p[tr_idx_dev],
+        source_dev[tr_idx_dev], labels_dev[tr_idx_dev],
+    )
+    wave_va, isi_va, joint_va = emb.get_embeddings(
+        wave_tree, time_tree, sup_wave[va_idx_dev], sup_isi_p[va_idx_dev],
+        source_dev[va_idx_dev], labels_dev[va_idx_dev],
+    )
+
+    neighbor_options = list(range(5, 20))  # train_model.py:419
+    accs: Dict[str, List[float]] = {}
+    preds_by_kind: Dict[str, Dict[int, np.ndarray]] = {}
+    for kind, e_tr, e_va in (
+        ("joint", joint_tr, joint_va),
+        ("waveform", wave_tr, wave_va),
+        ("isi", isi_tr, isi_va),
+    ):
+        preds = knn_eval.knn_predict_sweep(e_tr, label_train, e_va, neighbor_options)
+        preds_by_kind[kind] = preds
+        accs[kind] = [metrics.balanced_accuracy_score(label_val, preds[k]) for k in neighbor_options]
+
+    results: Dict[str, Any] = {
+        "label_encoder": le,
+        "neighbor_options": neighbor_options,
+        "balanced_accuracy": accs,
+        "best": {},
+        "paths": {"pretraining_embeddings": pretrain_paths},
+        "num_class_labels": num_class_labels,
+        "checkpoints": {m: trackers[m].path for m in trackers},
+        "supervised_checkpoints": {m: sup_trackers[m].path for m in sup_trackers},
+    }
+
+    for kind in ("waveform", "isi", "joint"):
+        best_k = neighbor_options[int(np.argmax(accs[kind]))]
+        pred = preds_by_kind[kind][best_k]
+        cm = metrics.confusion_matrix(label_val, pred, labels=np.arange(len(le.classes_)))
+        results["best"][kind] = {
+            "k": best_k,
+            "balanced_accuracy": float(np.max(accs[kind])),
+            "confusion_matrix": cm,
+            "pred": pred,
+        }
+        results["paths"][f"{kind}_knn"] = export_knn_csv(cfg, kind, pred, label_val, le)
+
+    # Full-dataset embeddings export (train_model.py:480-507).
+    wave_all, isi_all, joint_all = emb.get_embeddings(
+        wave_tree, time_tree, sup_wave, sup_isi_p, source_dev, labels_dev
+    )
+    for kind, arr in (("waveform", wave_all), ("isi", isi_all), ("joint", joint_all)):
+        results["paths"][f"{kind}_embeddings"] = export_embeddings_csv(cfg, kind, arr, sup_labels, le)
+
+    results["label_val"] = label_val
+    results["label_train"] = label_train
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pipeline (train_model_with_multimodal.py:618-971)
+# ---------------------------------------------------------------------------
+
+
+def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    root = jax.random.PRNGKey(cfg.seed)
+    num_sources = registry.NUM_SOURCES
+
+    pool = load_pretrain_pool(cfg)
+    tr_idx, va_idx = train_val_split(len(pool), cfg.train_val_split, jax.random.fold_in(root, 0))
+
+    mm_cfg = cvae.MultiModalConfig(
+        z_dim=cfg.z_dim, class_hidden_dim=cfg.class_hidden_dim,
+        num_sources=num_sources, num_classes=5,
+    )
+    template = cvae.multimodal_cvae_init(jax.random.fold_in(root, 100), mm_cfg)
+    params, bn = cvae.multimodal_cvae_init(jax.random.fold_in(root, 100), mm_cfg)
+    tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val)
+    ts = step.TrainState(params, bn, tx.init(params))
+    tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_joint_model.ckpt"))
+
+    if cfg.verbose:
+        print(f"[stage 1] pretraining joint model ({cvae.param_count(params):,} params)")
+    result = _fit_multimodal_stage(
+        cfg=cfg, ts=ts, tx=tx, wave=pool.wave, isi=pool.isi, source=pool.source,
+        class_=pool.source, train_indices=tr_idx, val_indices=va_idx,
+        batch_size=cfg.batch_size, max_epochs=cfg.pretrain_max_epochs,
+        use_class_labels=False, shuffle_train=True, stage_seed=10,
+    )
+    tracker.update_from_fit(result, template, (cfg.learning_rate, cfg.weight_decay))
+    state = step.TrainState(tracker.best_params, tracker.best_bn, None)
+
+    target = load_dataset(cfg, cfg.dataset, dropna=True)
+    target_source_id = registry.DATASET_SOURCE_IDS.get(cfg.dataset, 0)
+    target = ArrayDataset(
+        wave=target.wave, isi=target.isi,
+        source=jnp.full((len(target),), target_source_id, jnp.int32),
+    )
+
+    ft_lr = cfg.learning_rate / 10.0
+    if cfg.finetune_without_labels:
+        ft_tr, ft_va = _finetune_split_indices(cfg, len(target), jax.random.fold_in(root, 1))
+        tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
+        ts = _fork_state(state.params, state.bn_state, tx)
+        if cfg.verbose:
+            print(f"[stage 2] fine-tuning joint model on {cfg.dataset} (lr={ft_lr})")
+        result = _fit_multimodal_stage(
+            cfg=cfg, ts=ts, tx=tx, wave=target.wave, isi=target.isi,
+            source=target.source, class_=target.source,
+            train_indices=ft_tr, val_indices=ft_va, batch_size=cfg.batch_size,
+            max_epochs=cfg.finetune_max_epochs, use_class_labels=False,
+            shuffle_train=False, stage_seed=20,
+        )
+        tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
+        # Multimodal stage 2 reloads the best ckpt and embeds the fine-tune
+        # TEST split (…multimodal.py:772-777).
+        state = step.TrainState(tracker.best_params, tracker.best_bn, None)
+        emb_idx = jnp.asarray(ft_va)
+    else:
+        emb_idx = jnp.arange(len(target))
+
+    ft_joint = np.asarray(
+        emb.embed_multimodal(
+            state.params, state.bn_state,
+            target.wave[emb_idx], target.isi[emb_idx], target.source[emb_idx],
+        )
+    )
+    pretrain_paths = export_pretraining_embeddings(cfg, {"joint": ft_joint})
+
+    # Stage 3
+    sup_wf, sup_isi = registry.load_raw(cfg.data_root, cfg.dataset)
+    sup_wave, sup_isi_p = preprocess.preprocess_pair(jnp.asarray(sup_wf), jnp.asarray(sup_isi))
+    sup_labels, le = registry.load_supervised_labels(cfg.data_root, cfg.dataset)
+    n = len(sup_wf)
+    s_tr, s_va = train_val_split(n, cfg.train_val_split, jax.random.fold_in(root, 2))
+    label_train = sup_labels[s_tr]
+    label_val = sup_labels[s_va]
+    num_class_labels = int(len(np.unique(label_train)))
+
+    mm_cfg_sup = cvae.MultiModalConfig(
+        z_dim=cfg.z_dim, class_hidden_dim=cfg.class_hidden_dim,
+        num_sources=num_sources, num_classes=num_class_labels,
+    )
+    template = cvae.multimodal_cvae_init(jax.random.fold_in(root, 200), mm_cfg_sup)
+    loaded = ckpt_mod.load_lightning_ckpt(tracker.path)
+    params, bn, _, _ = ckpt_mod.from_torch_state_dict(
+        loaded["state_dict"], template[0], template[1], drop_keys=("class_embedding.weight",)
+    )
+    tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
+    ts = step.TrainState(params, bn, tx.init(params))
+    stream = sampling.balanced_indices(label_train, seed=cfg.seed)
+    train_stream = np.asarray(s_tr)[stream]
+    labels_dev = jnp.asarray(sup_labels.astype(np.int32))
+    source_dev = jnp.full((n,), target_source_id, jnp.int32)
+    sup_tracker = BestTracker(
+        os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_joint_model_supervised.ckpt")
+    )
+    if cfg.verbose:
+        print(f"[stage 3] supervised joint training ({num_class_labels} classes)")
+    result = _fit_multimodal_stage(
+        cfg=cfg, ts=ts, tx=tx, wave=sup_wave, isi=sup_isi_p, source=source_dev,
+        class_=labels_dev, train_indices=np.asarray(s_tr), val_indices=np.asarray(s_va),
+        batch_size=cfg.supervised_batch_size, max_epochs=cfg.supervised_max_epochs,
+        use_class_labels=True, shuffle_train=False,
+        fixed_train_stream=train_stream, stage_seed=30,
+    )
+    sup_tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
+    best_p = sup_tracker.best_params if sup_tracker.best_params is not None else result.state.params
+    best_bn = sup_tracker.best_bn if sup_tracker.best_bn is not None else result.state.bn_state
+
+    joint_tr = np.asarray(
+        emb.embed_multimodal(
+            best_p, best_bn, sup_wave[jnp.asarray(s_tr)], sup_isi_p[jnp.asarray(s_tr)],
+            source_dev[jnp.asarray(s_tr)], labels_dev[jnp.asarray(s_tr)],
+        )
+    )
+    joint_va = np.asarray(
+        emb.embed_multimodal(
+            best_p, best_bn, sup_wave[jnp.asarray(s_va)], sup_isi_p[jnp.asarray(s_va)],
+            source_dev[jnp.asarray(s_va)], labels_dev[jnp.asarray(s_va)],
+        )
+    )
+
+    neighbor_options = list(range(5, 20))
+    preds = knn_eval.knn_predict_sweep(joint_tr, label_train, joint_va, neighbor_options)
+    accs = [metrics.balanced_accuracy_score(label_val, preds[k]) for k in neighbor_options]
+    best_k = neighbor_options[int(np.argmax(accs))]
+    pred = preds[best_k]
+    cm = metrics.confusion_matrix(label_val, pred, labels=np.arange(len(le.classes_)))
+
+    results: Dict[str, Any] = {
+        "label_encoder": le,
+        "neighbor_options": neighbor_options,
+        "balanced_accuracy": {"joint": accs},
+        "best": {
+            "joint": {
+                "k": best_k,
+                "balanced_accuracy": float(np.max(accs)),
+                "confusion_matrix": cm,
+                "pred": pred,
+            }
+        },
+        "paths": {"pretraining_embeddings": pretrain_paths},
+        "num_class_labels": num_class_labels,
+        "checkpoints": {"joint": tracker.path},
+        "supervised_checkpoints": {"joint": sup_tracker.path},
+        "label_val": label_val,
+        "label_train": label_train,
+    }
+    results["paths"]["joint_knn"] = export_knn_csv(cfg, "joint", pred, label_val, le)
+
+    joint_all = np.asarray(
+        emb.embed_multimodal(best_p, best_bn, sup_wave, sup_isi_p, source_dev, labels_dev)
+    )
+    results["paths"]["joint_embeddings"] = export_embeddings_csv(cfg, "joint", joint_all, sup_labels, le)
+    return results
+
+
+def run_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
+    if cfg.model_type == "multimodal":
+        return run_multimodal_pipeline(cfg)
+    return run_unimodal_pipeline(cfg)

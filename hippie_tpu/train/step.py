@@ -1,0 +1,187 @@
+"""Single-compile fused train/eval steps and epoch-as-scan builders.
+
+Design (TPU-first, replaces the reference's Lightning per-batch Python loop,
+train_model.py:135-158):
+
+- the whole preprocessed dataset is device-resident; a batch is a gather;
+- one train step = forward + loss + backward + AdamW update, traced once and
+  fused by XLA (reconstruction MSE + beta-KL + reparameterization included);
+- a full epoch is ONE jit call: ``lax.scan`` over a [num_batches, B] index
+  plan, with a per-sample mask making the padded tail batch exact;
+- reparameterization noise comes from a per-step folded PRNG key.
+
+Factories return jitted callables; ``donate`` moves params/opt-state in place
+to avoid HBM copies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hippie_tpu.models import cvae
+from hippie_tpu.ops import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+
+
+class Metrics(NamedTuple):
+    loss: jnp.ndarray
+    mse: jnp.ndarray
+    kl: jnp.ndarray
+
+
+def _select_vae_loss(loss_backend: str):
+    if loss_backend == "pallas":
+        from hippie_tpu.ops.pallas_ops import vae_loss_pallas
+
+        return vae_loss_pallas
+    return losses.vae_loss
+
+
+def make_unimodal_epoch_fns(
+    tx: optax.GradientTransformation,
+    *,
+    beta: float = 1.0,
+    use_class_labels: bool = False,
+    modality: str = "wave",
+    loss_backend: str = "xla",
+):
+    """Build (train_epoch, eval_epoch) for the unimodal cVAE.
+
+    train_epoch(ts, data, source, class_, idx, mask, rng) -> (ts, Metrics[nb])
+    eval_epoch(params, bn_state, data, source, class_, idx, mask) -> Metrics[nb]
+
+    ``data`` is the full [N, L] modality array; ``idx``/``mask`` are the
+    [nb, B] epoch plan from data.device_data.batch_plan. Loss follows
+    model.py:95-116: mse over elements + beta * mean KL; eval uses running BN
+    stats but still samples the reparameterization like the reference's
+    validation_step (model.py:118-139). ``loss_backend='pallas'`` swaps in the
+    hand-fused Pallas loss kernel (ops/pallas_ops.py).
+    """
+    del modality  # metadata only
+    vae_loss = _select_vae_loss(loss_backend)
+
+    def batch_step(ts: TrainState, data, source, class_, bidx, bmask, brng):
+        bd = data[bidx]
+        bs = source[bidx]
+        bc = class_[bidx] if use_class_labels else None
+
+        def loss_fn(params):
+            (enc, mu, logvar, dec), new_bn = cvae.unimodal_cvae_apply(
+                params, ts.bn_state, bd, bs, bc, rng=brng, training=True, mask=bmask
+            )
+            total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
+            return total, (new_bn, mse, kl)
+
+        (loss, (new_bn, mse, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return TrainState(new_params, new_bn, new_opt), Metrics(loss, mse, kl)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(ts: TrainState, data, source, class_, idx, mask, rng):
+        keys = jax.random.split(rng, idx.shape[0])
+
+        def body(carry, xs):
+            bidx, bmask, brng = xs
+            new_ts, m = batch_step(carry, data, source, class_, bidx, bmask, brng)
+            return new_ts, m
+
+        ts, ms = jax.lax.scan(body, ts, (idx, mask, keys))
+        return ts, ms
+
+    @jax.jit
+    def eval_epoch(params, bn_state, data, source, class_, idx, mask, rng):
+        keys = jax.random.split(rng, idx.shape[0])
+
+        def body(carry, xs):
+            bidx, bmask, brng = xs
+            bd = data[bidx]
+            bc = class_[bidx] if use_class_labels else None
+            (enc, mu, logvar, dec), _ = cvae.unimodal_cvae_apply(
+                params, bn_state, bd, source[bidx], bc, rng=brng, training=False, mask=bmask
+            )
+            total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
+            return carry, Metrics(total, mse, kl)
+
+        _, ms = jax.lax.scan(body, None, (idx, mask, keys))
+        return ms
+
+    return train_epoch, eval_epoch
+
+
+def make_multimodal_epoch_fns(
+    tx: optax.GradientTransformation,
+    *,
+    beta: float = 1.0,
+    mod1_weight: float = 1.0,
+    mod2_weight: float = 1.0,
+    use_class_labels: bool = False,
+):
+    """Build (train_epoch, eval_epoch) for the joint MultiModalCVAE.
+
+    Same shape contract as the unimodal fns but with (wave, isi) arrays.
+    Loss follows model.py:454-482.
+    """
+
+    def batch_step(ts: TrainState, wave, isi, source, class_, bidx, bmask, brng):
+        b1, b2 = wave[bidx], isi[bidx]
+        bs = source[bidx]
+        bc = class_[bidx] if use_class_labels else None
+
+        def loss_fn(params):
+            (enc, mu, logvar, d1, d2), new_bn = cvae.multimodal_cvae_apply(
+                params, ts.bn_state, b1, b2, bs, bc, rng=brng, training=True, mask=bmask
+            )
+            total, (mse1, mse2, kl) = losses.multimodal_vae_loss(
+                b1, b2, d1, d2, mu, logvar,
+                beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight, mask=bmask,
+            )
+            return total, (new_bn, mse1 + mse2, kl)
+
+        (loss, (new_bn, mse, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return TrainState(new_params, new_bn, new_opt), Metrics(loss, mse, kl)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(ts: TrainState, wave, isi, source, class_, idx, mask, rng):
+        keys = jax.random.split(rng, idx.shape[0])
+
+        def body(carry, xs):
+            bidx, bmask, brng = xs
+            return batch_step(carry, wave, isi, source, class_, bidx, bmask, brng)
+
+        ts, ms = jax.lax.scan(body, ts, (idx, mask, keys))
+        return ts, ms
+
+    @jax.jit
+    def eval_epoch(params, bn_state, wave, isi, source, class_, idx, mask, rng):
+        keys = jax.random.split(rng, idx.shape[0])
+
+        def body(carry, xs):
+            bidx, bmask, brng = xs
+            b1, b2 = wave[bidx], isi[bidx]
+            bc = class_[bidx] if use_class_labels else None
+            (enc, mu, logvar, d1, d2), _ = cvae.multimodal_cvae_apply(
+                params, bn_state, b1, b2, source[bidx], bc, rng=brng, training=False, mask=bmask
+            )
+            total, (mse1, mse2, kl) = losses.multimodal_vae_loss(
+                b1, b2, d1, d2, mu, logvar,
+                beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight, mask=bmask,
+            )
+            return carry, Metrics(total, mse1 + mse2, kl)
+
+        _, ms = jax.lax.scan(body, None, (idx, mask, keys))
+        return ms
+
+    return train_epoch, eval_epoch

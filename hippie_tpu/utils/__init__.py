@@ -1,0 +1,1 @@
+from hippie_tpu.utils import wandb_shim  # noqa: F401

@@ -1,0 +1,181 @@
+"""Inference CLI (contract of reference scripts/inference_from_trained_model.py).
+
+Loads a dataset + dual wave/time checkpoints, exports
+<output-dir>/<ds>_{waveform,isi,joint}_embeddings.csv (index=False, with
+label / label_name columns) and UMAP visualizations when umap-learn is
+installed. Adds optional on-device k-means clustering of the joint embeddings
+(--cluster) — the train-to-cluster single-accelerator pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--z_dim", type=int, default=64, required=False,
+                        help="Dimensionality of the latent space")
+    parser.add_argument("--dataset", type=str, default="cellexplorer-celltype",
+                        help="Dataset to perform inference on")
+    parser.add_argument("--wave-checkpoint", type=str, required=True,
+                        help="Path to the waveform model checkpoint")
+    parser.add_argument("--time-checkpoint", type=str, required=True,
+                        help="Path to the time model checkpoint")
+    parser.add_argument("--output-dir", type=str, default="./embeddings",
+                        help="Directory to save embeddings and visualizations")
+    parser.add_argument("--data-root", type=str, default="datasets")
+    parser.add_argument("--num-sources", type=int, default=5)
+    parser.add_argument("--cluster", type=int, default=0,
+                        help="If >0, also run on-device k-means with this many clusters")
+    parser.add_argument("--seed", type=int, default=42)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from hippie_tpu.data import registry
+    from hippie_tpu.evaluate import embeddings as emb
+    from hippie_tpu.models import cvae
+    from hippie_tpu.ops import preprocess
+    from hippie_tpu.train import checkpoint as ckpt_mod
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    print(f"Loading dataset: {args.dataset}")
+    wf, isi = registry.load_raw(args.data_root, args.dataset, dropna=True)
+    wave, isi_p = preprocess.preprocess_pair(jnp.asarray(wf), jnp.asarray(isi))
+
+    # Labels from metadata.csv 'label' column, else dummy zeros
+    # (reference inference_from_trained_model.py:69-82).
+    labels = None
+    label_names = None
+    meta = registry.load_metadata(args.data_root, args.dataset)
+    if meta is not None and "label" in meta.columns:
+        labels = meta["label"].to_numpy()
+        label_names = meta["label"].unique()
+        print(f"Found {len(label_names)} unique labels: {label_names}")
+    if labels is None:
+        labels = np.zeros(wf.shape[0], dtype=np.int64)
+        label_names = ["unknown"]
+        print("No labels found, using dummy labels")
+
+    num_classes = len(np.unique(labels))
+    cfg_wave = cvae.CVAEConfig(z_dim=args.z_dim, output_size=50, class_hidden_dim=5,
+                               num_sources=args.num_sources, num_classes=num_classes)
+    cfg_time = cvae.CVAEConfig(z_dim=args.z_dim, output_size=100, class_hidden_dim=5,
+                               num_sources=args.num_sources, num_classes=num_classes)
+
+    print("Loading models from checkpoints...")
+    try:
+        trees = {}
+        for name, cfg_m, path in (("wave", cfg_wave, args.wave_checkpoint),
+                                  ("time", cfg_time, args.time_checkpoint)):
+            template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
+            payload = ckpt_mod.load_lightning_ckpt(path)
+            sd = payload["state_dict"]
+            drop = ()
+            ce = sd.get("model.class_embedding.weight")
+            if ce is not None and ce.shape[0] != num_classes:
+                print(f"Warning: Class embedding size mismatch in {name} model. Removing from checkpoint.")
+                drop = ("class_embedding.weight",)
+            params, bn, loaded, skipped = ckpt_mod.from_torch_state_dict(
+                sd, template[0], template[1], drop_keys=drop
+            )
+            trees[name] = (params, bn)
+        print("Models loaded successfully")
+    except Exception as e:
+        print(f"Error loading models: {e}")
+        sys.exit(1)
+
+    # The reference passes the (1-D) labels straight through get_embeddings,
+    # where they act as *source* labels in the forward (scripts/utils.py:79).
+    source = jnp.asarray(np.asarray(labels, dtype=np.int64) % args.num_sources, jnp.int32)
+
+    print("Extracting embeddings...")
+    wave_emb, isi_emb, joint_emb = emb.get_embeddings(
+        trees["wave"], trees["time"], wave, isi_p, source
+    )
+
+    print("Saving embeddings...")
+    name_lookup = {v: i for i, v in enumerate(np.asarray(label_names))}
+    for kind, arr in zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb]):
+        df = pd.DataFrame(arr)
+        df["label"] = labels
+        try:
+            df["label_name"] = pd.Categorical(
+                [np.asarray(label_names)[int(i)] for i in labels]
+            )
+        except (ValueError, IndexError, TypeError):
+            # Non-integer-coded labels (reference assumes integer codes,
+            # quirk Q12); fall back to the labels themselves.
+            df["label_name"] = pd.Categorical(np.asarray(labels).astype(str))
+        out_path = os.path.join(args.output_dir, f"{args.dataset}_{kind}_embeddings.csv")
+        df.to_csv(out_path, index=False)
+        print(f"Saved {kind} embeddings to {out_path}")
+
+    if args.cluster > 0:
+        from hippie_tpu.ops import clustering
+
+        assign, centers, inertia = clustering.kmeans(
+            jnp.asarray(joint_emb), args.cluster, seed=args.seed
+        )
+        df = pd.DataFrame({"cluster": np.asarray(assign)})
+        df["label"] = labels
+        out_path = os.path.join(args.output_dir, f"{args.dataset}_joint_clusters.csv")
+        df.to_csv(out_path, index=False)
+        print(f"Saved k-means clusters (k={args.cluster}, inertia={float(inertia):.4f}) to {out_path}")
+
+    # UMAP visualizations (optional dependency).
+    try:
+        import umap  # noqa: F401
+
+        have_umap = True
+    except ImportError:
+        have_umap = False
+        print("umap-learn not installed; skipping UMAP visualizations")
+
+    if have_umap:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        def create_umap_plot(embeddings, labels, title, output_path):
+            reducer = umap.UMAP(random_state=42)
+            u = reducer.fit_transform(embeddings)
+            plt.figure(figsize=(10, 8))
+            if len(np.unique(labels)) > 1:
+                sc = plt.scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
+                plt.colorbar(sc, label="Label")
+            else:
+                plt.scatter(u[:, 0], u[:, 1], alpha=0.7, s=10)
+            plt.title(title)
+            plt.xlabel("UMAP 1")
+            plt.ylabel("UMAP 2")
+            plt.tight_layout()
+            plt.savefig(output_path, dpi=300, bbox_inches="tight")
+            plt.close()
+
+        print("Generating UMAP visualizations...")
+        for kind, arr in zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb]):
+            out_path = os.path.join(args.output_dir, f"{args.dataset}_{kind}_umap.png")
+            create_umap_plot(arr, labels, f"{args.dataset} {kind} embeddings", out_path)
+            print(f"Saved {kind} UMAP visualization to {out_path}")
+
+    print("Inference completed successfully!")
+
+
+if __name__ == "__main__":
+    main()

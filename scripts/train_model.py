@@ -1,0 +1,132 @@
+"""Unimodal 3-stage training CLI (contract of reference scripts/train_model.py).
+
+Same flags, same output filenames (pretraining_<ds>_*_embeddings.csv,
+<ds>_*_knn.csv, <ds>_*_embeddings.csv, Lightning-style .ckpt files), same
+3-stage flow — running TPU-native on JAX/XLA. Extra flags beyond the
+reference: --data-root, --output-dir, --checkpoint-dir, --seed, --wandb
+(wandb is off/no-op by default instead of mandatory).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def str2bool(v):
+    # The reference uses type=bool (any non-empty string is True — a CLI
+    # trap, SURVEY.md §5); accept explicit true/false spellings as well.
+    if isinstance(v, bool):
+        return v
+    return v.lower() not in ("false", "0", "no", "")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--z_dim", type=int, default=5, required=False)
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--learning-rate", type=float, default=0.001)
+    parser.add_argument("--beta", type=float, default=1)
+    parser.add_argument("--dataset", type=str, default="cellexplorer-celltype")
+    parser.add_argument("--upload-model", action="store_true")
+    parser.add_argument("--wandb-tag", type=str, default="no_curr_sup_pretrain_data")
+    parser.add_argument("--project", type=str, default="HIPPIE final benchmarks w finetune without labels")
+    parser.add_argument("--finetune-without-labels", type=str2bool, default=True)
+    parser.add_argument("--pretrain-max-epochs", type=int, default=1)
+    parser.add_argument("--finetune-max-epochs", type=int, default=1)
+    parser.add_argument("--supervised-max-epochs", type=int, default=1)
+    parser.add_argument("--batch-size", type=int, default=512)
+    parser.add_argument("--supervised-batch-size", type=int, default=64)
+    parser.add_argument("--early-stopping-patience", type=int, default=30)
+    parser.add_argument("--gradient-clip-val", type=float, default=1.0)
+    parser.add_argument("--train-val-split", type=float, default=0.8)
+    parser.add_argument("--finetune-split", type=float, default=0.1)
+    parser.add_argument("--limit-train-batches", type=float, default=None)
+    parser.add_argument("--limit-val-batches", type=float, default=None)
+    # Extensions (not in the reference CLI):
+    parser.add_argument("--data-root", type=str, default="datasets")
+    parser.add_argument("--output-dir", type=str, default=".")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--wandb", action="store_true", help="enable wandb logging if installed")
+    parser.add_argument("--strict-leakage-guard", action="store_true",
+                        help="also exclude sister juxtacellular datasets (fixes quirk Q2)")
+    return parser
+
+
+def run(args, model_type: str = "unimodal"):
+    from hippie_tpu.train.pipeline import PipelineConfig, run_pipeline
+    from hippie_tpu.evaluate.confmat import make_confmat
+    from hippie_tpu.utils import wandb_shim
+
+    if args.wandb:
+        wandb_shim.enable()
+    wandb = wandb_shim.get()
+    if wandb_shim.is_enabled():
+        wandb.init(project=args.project, name=f"{args.wandb_tag}{args.dataset}_{model_type}_{args.z_dim}")
+
+    cfg = PipelineConfig(
+        z_dim=args.z_dim,
+        weight_decay=args.weight_decay,
+        learning_rate=args.learning_rate,
+        beta=args.beta,
+        dataset=args.dataset,
+        finetune_without_labels=args.finetune_without_labels,
+        pretrain_max_epochs=args.pretrain_max_epochs,
+        finetune_max_epochs=args.finetune_max_epochs,
+        supervised_max_epochs=args.supervised_max_epochs,
+        batch_size=args.batch_size,
+        supervised_batch_size=args.supervised_batch_size,
+        early_stopping_patience=args.early_stopping_patience,
+        gradient_clip_val=args.gradient_clip_val,
+        train_val_split=args.train_val_split,
+        finetune_split=args.finetune_split,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        model_type=model_type,
+        mod1_weight=getattr(args, "mod1_weight", 1.0),
+        mod2_weight=getattr(args, "mod2_weight", 1.0),
+        data_root=args.data_root,
+        output_dir=args.output_dir,
+        checkpoint_dir=args.checkpoint_dir,
+        seed=args.seed,
+        strict_leakage_guard=args.strict_leakage_guard,
+        log_fn=(lambda d: wandb.log(d)) if wandb_shim.is_enabled() else None,
+    )
+
+    results = run_pipeline(cfg)
+
+    le = results["label_encoder"]
+    label_names = le.classes_
+    final_metrics = {}
+    for kind, info in results["best"].items():
+        final_metrics[f"best_balanced_accuracy_{kind}"] = info["balanced_accuracy"]
+        print(f"best_balanced_accuracy_{kind}: {info['balanced_accuracy']:.4f} (k={info['k']})")
+        fig = make_confmat(info["confusion_matrix"], label_names, info["k"])
+        fig_path = os.path.join(args.output_dir, f"{args.dataset}_confusion_matrix_{kind}.png")
+        fig.savefig(fig_path, dpi=150, bbox_inches="tight")
+        print(f"saved {fig_path}")
+        if wandb_shim.is_enabled():
+            wandb.log({f"{args.dataset}_confusion_matrix_{kind}": wandb.Image(fig)})
+
+    if wandb_shim.is_enabled():
+        wandb.log(final_metrics)
+        for path in results["paths"].values():
+            if isinstance(path, str):
+                wandb.log_artifact(path, name=os.path.basename(path), type=os.path.basename(path))
+        if args.upload_model:
+            for m, path in results["supervised_checkpoints"].items():
+                wandb.log_artifact(
+                    path,
+                    name=f"{m}_model_ft_d{args.dataset}_z{args.z_dim}_lr{args.learning_rate}.pt",
+                    type="model",
+                )
+        wandb.config.update(args)
+    return results
+
+
+if __name__ == "__main__":
+    run(build_parser().parse_args())

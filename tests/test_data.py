@@ -1,0 +1,95 @@
+"""Data layer: registry contracts, balanced sampler semantics, batch plans."""
+
+import numpy as np
+import jax
+import pytest
+
+from hippie_tpu.data import device_data, registry, sampling
+
+
+def test_source_id_map_matches_reference():
+    # train_model.py:51-62
+    assert registry.DATASET_SOURCE_IDS["extracellular-mouse-a1"] == 1
+    assert registry.DATASET_SOURCE_IDS["allenscope-neuropixel"] == 3
+    assert registry.NUM_SOURCES == 5
+
+
+def test_pretrain_pool_leakage_guards():
+    # exact-match removal + cellexplorer guard (train_model.py:74-79)
+    pool = registry.pretrain_pool("cellexplorer-celltype")
+    assert "cellexplorer-celltype" not in pool
+    assert "cellexplorer-area" not in pool
+    # quirk Q2: the typo'd juxtacellular guard never fires in the reference
+    pool = registry.pretrain_pool("juxtacellular-mouse-s1-celltype")
+    assert "juxtacellular-mouse-s1-area" in pool
+    assert "juxtacellular-mouse-s1-celltype" not in pool
+    # fixed behavior behind the flag
+    pool = registry.pretrain_pool("juxtacellular-mouse-s1-celltype", strict_leakage_guard=True)
+    assert "juxtacellular-mouse-s1-area" not in pool
+
+
+def test_load_raw_keeps_index_column():
+    # quirk Q4: the CSV index column is ingested as feature 0
+    wf, isi = registry.load_raw("/root/reference/datasets", "cellexplorer-celltype")
+    assert wf.shape == (392, 47)  # 46 samples + index col (SURVEY.md §2.5)
+    assert isi.shape == (392, 100)
+    np.testing.assert_allclose(wf[:5, 0], np.arange(5))  # index col present
+
+
+def test_label_encoder_matches_sklearn():
+    from sklearn.preprocessing import LabelEncoder as SkLE
+
+    raw = np.array(["PV", "SST", "PV", "VIP", "SST", "PV"])
+    ours = registry.LabelEncoder.fit(raw)
+    sk = SkLE().fit(raw)
+    np.testing.assert_array_equal(ours.classes_, sk.classes_)
+    np.testing.assert_array_equal(ours.transform(raw), sk.transform(raw))
+    np.testing.assert_array_equal(ours.inverse_transform([0, 1, 2]), sk.inverse_transform([0, 1, 2]))
+
+
+def test_load_supervised_labels_fallback():
+    # quirk Q5: shipped labels.csv files have no 'label' column; we fall back
+    # to the last data column instead of crashing like the reference.
+    labels, le = registry.load_supervised_labels("/root/reference/datasets", "cellexplorer-celltype")
+    assert labels.shape == (392,)
+    assert len(le.classes_) > 1
+
+
+def test_balanced_indices_semantics():
+    labels = np.array([0, 0, 0, 0, 0, 1, 1, 2])
+    stream = sampling.balanced_indices(labels, seed=0)
+    # length = balanced_max * num_classes (dataloading.py:150-151)
+    assert len(stream) == 5 * 3
+    # round-robin across classes in first-appearance order
+    got_labels = labels[stream]
+    np.testing.assert_array_equal(got_labels[:3], [0, 1, 2])
+    np.testing.assert_array_equal(got_labels, np.tile([0, 1, 2], 5))
+    # every class index appears; originals all covered for majority class
+    assert set(stream[got_labels == 0]) == {0, 1, 2, 3, 4}
+    # oversampled classes only reuse their own indices
+    assert set(stream[got_labels == 1]) <= {5, 6}
+    assert set(stream[got_labels == 2]) == {7}
+
+
+def test_batch_plan_padding():
+    idx, mask = device_data.batch_plan(np.arange(10), 4, shuffle=False)
+    assert idx.shape == (3, 4)
+    np.testing.assert_array_equal(mask[-1], [1, 1, 0, 0])
+    np.testing.assert_array_equal(idx[0], [0, 1, 2, 3])
+
+
+def test_batch_plan_shuffle_deterministic():
+    k = jax.random.PRNGKey(0)
+    a = device_data.batch_plan(np.arange(100), 16, shuffle=True, key=k)
+    b = device_data.batch_plan(np.arange(100), 16, shuffle=True, key=k)
+    np.testing.assert_array_equal(a[0], b[0])
+    c = device_data.batch_plan(np.arange(100), 16, shuffle=True, key=jax.random.PRNGKey(1))
+    assert not np.array_equal(a[0], c[0])
+    # a shuffle is a permutation
+    assert sorted(a[0].reshape(-1)[a[1].reshape(-1) > 0].tolist()) == list(range(100))
+
+
+def test_train_val_split():
+    tr, va = device_data.train_val_split(100, 0.8, jax.random.PRNGKey(0))
+    assert len(tr) == 80 and len(va) == 20
+    assert sorted(np.concatenate([tr, va]).tolist()) == list(range(100))

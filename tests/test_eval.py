@@ -1,0 +1,78 @@
+"""Evaluation: on-device KNN vs sklearn, metrics, z-score, clustering."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hippie_tpu.evaluate import knn_eval, metrics
+from hippie_tpu.evaluate.embeddings import zscore_rows
+from hippie_tpu.ops import clustering
+
+
+def test_knn_sweep_matches_sklearn():
+    from sklearn.neighbors import KNeighborsClassifier
+
+    rng = np.random.default_rng(0)
+    xtr = rng.normal(size=(300, 10)).astype(np.float32)
+    ytr = rng.integers(0, 4, size=300)
+    xte = rng.normal(size=(80, 10)).astype(np.float32)
+
+    ks = list(range(5, 20))
+    ours = knn_eval.knn_predict_sweep(xtr, ytr, xte, ks)
+    for k in ks:
+        sk = KNeighborsClassifier(n_neighbors=k).fit(xtr, ytr).predict(xte)
+        np.testing.assert_array_equal(ours[k], sk, err_msg=f"k={k}")
+
+
+def test_balanced_accuracy_matches_sklearn():
+    from sklearn.metrics import balanced_accuracy_score as sk_bas
+
+    rng = np.random.default_rng(1)
+    yt = rng.integers(0, 5, size=200)
+    yp = rng.integers(0, 5, size=200)
+    assert abs(metrics.balanced_accuracy_score(yt, yp) - sk_bas(yt, yp)) < 1e-12
+
+
+def test_confusion_matrix_matches_sklearn():
+    from sklearn.metrics import confusion_matrix as sk_cm
+
+    rng = np.random.default_rng(2)
+    yt = rng.integers(0, 4, size=100)
+    yp = rng.integers(0, 4, size=100)
+    np.testing.assert_array_equal(metrics.confusion_matrix(yt, yp), sk_cm(yt, yp))
+
+
+def test_zscore_rows_matches_torch_std():
+    import torch
+
+    rng = np.random.default_rng(3)
+    e = rng.normal(size=(16, 10)).astype(np.float32)
+    t = torch.tensor(e)
+    expected = ((t - t.mean(dim=1)[:, None]) / t.std(dim=1)[:, None]).numpy()
+    got = np.asarray(zscore_rows(jnp.asarray(e)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_kmeans_separates_blobs():
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(50, 5)) + 10
+    b = rng.normal(size=(50, 5)) - 10
+    x = np.concatenate([a, b]).astype(np.float32)
+    assign, centers, inertia = clustering.kmeans(x, 2, seed=0)
+    assign = np.asarray(assign)
+    # perfect split (labels may be swapped)
+    assert len(set(assign[:50])) == 1 and len(set(assign[50:])) == 1
+    assert assign[0] != assign[-1]
+    assert float(inertia) < 1000
+
+
+def test_gmm_separates_blobs():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(60, 4)) + 6
+    b = rng.normal(size=(60, 4)) - 6
+    x = np.concatenate([a, b]).astype(np.float32)
+    assign, means, var, weights, ll = clustering.gmm(x, 2, iters=30, seed=0)
+    assign = np.asarray(assign)
+    assert len(set(assign[:60])) == 1 and len(set(assign[60:])) == 1
+    assert assign[0] != assign[-1]
+    np.testing.assert_allclose(np.asarray(weights).sum(), 1.0, rtol=1e-5)
