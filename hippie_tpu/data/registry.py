@@ -55,14 +55,19 @@ def pretrain_pool(target_dataset: str, *, strict_leakage_guard: bool = False):
 def load_raw(data_root: str, name: str, *, dropna: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Load (waveforms, isi) raw arrays exactly as the reference does.
 
-    Keeps the CSV index column as feature 0 (quirk Q4).
+    Keeps the CSV index column as feature 0 (quirk Q4). Uses the native C
+    parser (hippie_tpu/data/fastcsv.py) with transparent pandas fallback;
+    ``dropna`` reproduces the fine-tune path's ``dropna(axis=1)``
+    (train_model.py:166-169, quirk Q13) by dropping any-NaN columns.
     """
-    wf = pd.read_csv(os.path.join(data_root, name, "waveforms.csv"))
-    isi = pd.read_csv(os.path.join(data_root, name, "isi_dist.csv"))
+    from hippie_tpu.data import fastcsv
+
+    wf = fastcsv.read_numeric_csv(os.path.join(data_root, name, "waveforms.csv"))
+    isi = fastcsv.read_numeric_csv(os.path.join(data_root, name, "isi_dist.csv"))
     if dropna:
-        wf = wf.dropna(axis=1)
-        isi = isi.dropna(axis=1)
-    return wf.to_numpy(dtype=np.float32), isi.to_numpy(dtype=np.float32)
+        wf = wf[:, ~np.isnan(wf).any(axis=0)]
+        isi = isi[:, ~np.isnan(isi).any(axis=0)]
+    return np.ascontiguousarray(wf), np.ascontiguousarray(isi)
 
 
 @dataclass

@@ -35,10 +35,15 @@ def zscore_rows(e: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("use_class",))
 def _embed_unimodal(params, bn_state, data, source, class_, use_class: bool):
-    (enc, mu, logvar, dec), _ = cvae.unimodal_cvae_apply(
-        params, bn_state, data, source, class_ if use_class else None, training=False
-    )
-    return zscore_rows(enc)
+    # 'highest' matmul precision: embeddings are the parity-critical product
+    # (BASELINE cosine>0.999 target); fp32-accurate MXU passes cost nothing at
+    # these sizes and give ~1e-8 agreement with the torch reference on TPU
+    # (vs ~1e-3 with the default bf16 multiplies).
+    with jax.default_matmul_precision("highest"):
+        (enc, mu, logvar, dec), _ = cvae.unimodal_cvae_apply(
+            params, bn_state, data, source, class_ if use_class else None, training=False
+        )
+        return zscore_rows(enc)
 
 
 def embed_unimodal(params, bn_state, data, source, class_=None) -> jnp.ndarray:
@@ -49,10 +54,11 @@ def embed_unimodal(params, bn_state, data, source, class_=None) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("use_class",))
 def _embed_multimodal(params, bn_state, wave, isi, source, class_, use_class: bool):
-    (enc, *_), _ = cvae.multimodal_cvae_apply(
-        params, bn_state, wave, isi, source, class_ if use_class else None, training=False
-    )
-    return zscore_rows(enc)
+    with jax.default_matmul_precision("highest"):
+        (enc, *_), _ = cvae.multimodal_cvae_apply(
+            params, bn_state, wave, isi, source, class_ if use_class else None, training=False
+        )
+        return zscore_rows(enc)
 
 
 def embed_multimodal(params, bn_state, wave, isi, source, class_=None) -> jnp.ndarray:

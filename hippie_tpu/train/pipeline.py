@@ -81,6 +81,7 @@ class PipelineConfig:
     checkpoint_dir: str = "checkpoints"
     seed: int = 42
     class_hidden_dim: int = 5
+    num_blocks: tuple = (2, 2, 2, 2)  # backbone depth; (2,2,2,2) = ResNet18
     strict_leakage_guard: bool = False
     verbose: bool = True
     log_fn: Any = None  # optional callable(dict)
@@ -350,7 +351,7 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         clip = None if modality == "wave" else cfg.gradient_clip_val
         cfg_m = cvae.CVAEConfig(
             z_dim=cfg.z_dim, output_size=out_size, class_hidden_dim=cfg.class_hidden_dim,
-            num_sources=num_sources, num_classes=5,
+            num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
         )
         params, bn = cvae.unimodal_cvae_init(jax.random.fold_in(root, 100 + mi), cfg_m)
         templates[modality] = cvae.unimodal_cvae_init(jax.random.fold_in(root, 100 + mi), cfg_m)
@@ -436,6 +437,7 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         cfg_m = cvae.CVAEConfig(
             z_dim=cfg.z_dim, output_size=out_size, class_hidden_dim=cfg.class_hidden_dim,
             num_sources=num_sources, num_classes=num_class_labels,
+            num_blocks=tuple(cfg.num_blocks),
         )
         template = cvae.unimodal_cvae_init(jax.random.fold_in(root, 200 + mi), cfg_m)
         # Load the cross-stage best ckpt minus the class embedding (quirk Q10).
@@ -544,7 +546,7 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     mm_cfg = cvae.MultiModalConfig(
         z_dim=cfg.z_dim, class_hidden_dim=cfg.class_hidden_dim,
-        num_sources=num_sources, num_classes=5,
+        num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
     )
     template = cvae.multimodal_cvae_init(jax.random.fold_in(root, 100), mm_cfg)
     params, bn = cvae.multimodal_cvae_init(jax.random.fold_in(root, 100), mm_cfg)
@@ -613,6 +615,7 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     mm_cfg_sup = cvae.MultiModalConfig(
         z_dim=cfg.z_dim, class_hidden_dim=cfg.class_hidden_dim,
         num_sources=num_sources, num_classes=num_class_labels,
+        num_blocks=tuple(cfg.num_blocks),
     )
     template = cvae.multimodal_cvae_init(jax.random.fold_in(root, 200), mm_cfg_sup)
     loaded = ckpt_mod.load_lightning_ckpt(tracker.path)

@@ -1,0 +1,91 @@
+"""Pipeline integration: full 3-stage runs on tiny synthetic data with a
+shallow backbone (num_blocks=(1,1,1,1)) to keep single-core XLA compiles
+manageable. Verifies stage wiring, file contracts, and checkpoint round trips.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hippie_tpu.data import synth
+from hippie_tpu.data.registry import DATASET_SOURCE_IDS
+from hippie_tpu.train.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_datasets")
+    # target + two pretraining datasets, reusing known registry names so
+    # source-id lookup applies
+    synth.make_dataset(str(root), "cellexplorer-celltype", n=48, num_classes=3, seed=0)
+    synth.make_dataset(str(root), "extracellular-mouse-a1", n=40, wave_width=39, isi_width=50, seed=1)
+    synth.make_dataset(str(root), "neonatal-mouse-brain-slice", n=64, wave_width=49, seed=2)
+    return str(root)
+
+
+def _base_cfg(synth_root, tmp_path, **kw):
+    return PipelineConfig(
+        z_dim=4,
+        dataset="cellexplorer-celltype",
+        data_root=synth_root,
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpts"),
+        batch_size=32,
+        supervised_batch_size=16,
+        pretrain_max_epochs=1,
+        finetune_max_epochs=1,
+        supervised_max_epochs=1,
+        num_blocks=(1, 1, 1, 1),
+        verbose=False,
+        **kw,
+    )
+
+
+@pytest.mark.slow
+def test_unimodal_pipeline_end_to_end(synth_root, tmp_path):
+    cfg = _base_cfg(synth_root, tmp_path)
+    results = run_pipeline(cfg)
+
+    # KNN results for all three embedding kinds
+    for kind in ("waveform", "isi", "joint"):
+        assert 0.0 <= results["best"][kind]["balanced_accuracy"] <= 1.0
+        assert results["best"][kind]["k"] in range(5, 20)
+
+    # file contract
+    out = cfg.output_dir
+    for kind in ("waveform", "isi", "joint"):
+        assert os.path.exists(os.path.join(out, f"pretraining_cellexplorer-celltype_{kind}_embeddings.csv"))
+        assert os.path.exists(os.path.join(out, f"cellexplorer-celltype_{kind}_knn.csv"))
+        assert os.path.exists(os.path.join(out, f"cellexplorer-celltype_{kind}_embeddings.csv"))
+
+    # knn csv schema: pred/true with original label names
+    df = pd.read_csv(os.path.join(out, "cellexplorer-celltype_joint_knn.csv"), index_col=0)
+    assert list(df.columns) == ["pred", "true"]
+    assert set(df["true"]).issubset({"type0", "type1", "type2"})
+
+    # embeddings csv: z columns + label
+    df = pd.read_csv(os.path.join(out, "cellexplorer-celltype_waveform_embeddings.csv"), index_col=0)
+    assert df.shape == (48, cfg.z_dim + 1)
+    assert "label" in df.columns
+
+    # checkpoints are Lightning-compatible and reloadable
+    from hippie_tpu.train import checkpoint as ckpt_mod
+
+    payload = ckpt_mod.load_lightning_ckpt(results["checkpoints"]["wave"])
+    assert "state_dict" in payload and payload["optimizer_states"]
+    assert any(k.startswith("model.encoder.") for k in payload["state_dict"])
+
+
+@pytest.mark.slow
+def test_multimodal_pipeline_end_to_end(synth_root, tmp_path):
+    cfg = _base_cfg(synth_root, tmp_path, model_type="multimodal")
+    results = run_pipeline(cfg)
+    assert "joint" in results["best"]
+    out = cfg.output_dir
+    assert os.path.exists(os.path.join(out, "pretraining_cellexplorer-celltype_joint_embeddings.csv"))
+    assert os.path.exists(os.path.join(out, "cellexplorer-celltype_joint_knn.csv"))
+    assert os.path.exists(os.path.join(out, "cellexplorer-celltype_joint_embeddings.csv"))
+    cm = results["best"]["joint"]["confusion_matrix"]
+    assert cm.sum() == len(results["label_val"])
