@@ -128,6 +128,7 @@ def unflatten_to(params_template: dict, state_template: dict, flat: Dict[str, An
         return node
 
     loaded, skipped = [], []
+    staged = {}  # numpy staging; uploaded in one batched device_put at the end
     for key, val in flat.items():
         keys = key.split(".")
         target_tree = None
@@ -139,9 +140,15 @@ def unflatten_to(params_template: dict, state_template: dict, flat: Dict[str, An
             skipped.append(key)
             continue
         ref = locate(target_tree, keys)
-        arr = jnp.asarray(np.asarray(val), dtype=ref.dtype).reshape(ref.shape)
-        _set_path(target_tree, keys, arr)
+        ref_dtype = np.dtype(ref.dtype)
+        arr = np.asarray(val).astype(ref_dtype).reshape(tuple(ref.shape))
+        staged[key] = (target_tree is params, arr)
         loaded.append(key)
+    if staged:
+        uploaded = jax.device_put({k: v[1] for k, v in staged.items()})
+        for key, arr in uploaded.items():
+            keys = key.split(".")
+            _set_path(params if staged[key][0] else state, keys, arr)
     return params, state, loaded, skipped
 
 
@@ -166,9 +173,42 @@ def _from_torch_layout(key: str, x: np.ndarray) -> np.ndarray:
     return x
 
 
+def _pack_leaves(leaves):
+    return jnp.concatenate([jnp.ravel(x).astype(jnp.float32) for x in leaves])
+
+
+_pack_leaves_jit = jax.jit(_pack_leaves)
+
+
+def bulk_host_fetch(flat: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Fetch a flat dict of device arrays with ONE device->host transfer.
+
+    Remote backends pay a full round trip per buffer; a several-hundred-leaf
+    state dict fetched leaf-by-leaf costs minutes. Instead, jit-concatenate
+    everything into one float32 vector on device, fetch once, and split on the
+    host. Integer leaves (BN step counters) survive the float32 round trip
+    exactly (values << 2^24). Preserves key order.
+    """
+    keys = list(flat.keys())
+    leaves = [flat[k] for k in keys]
+    if not leaves or all(isinstance(x, np.ndarray) for x in leaves):
+        return dict(flat)
+    shapes = [tuple(np.shape(x)) for x in leaves]
+    dtypes = [np.dtype(getattr(x, "dtype", np.float32)) for x in leaves]
+    packed = np.asarray(_pack_leaves_jit(leaves))
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    out = {}
+    offset = 0
+    for k, shape, dtype, size in zip(keys, shapes, dtypes, sizes):
+        chunk = packed[offset:offset + size]
+        offset += size
+        out[k] = chunk.astype(dtype).reshape(shape)
+    return out
+
+
 def to_torch_state_dict(params: dict, state: Optional[dict], prefix: str = "model.") -> Dict[str, np.ndarray]:
     """JAX pytrees -> {torch_key: np.ndarray} with torch layouts."""
-    flat = flatten_interleaved(params, state)
+    flat = bulk_host_fetch(flatten_interleaved(params, state))
     out = {}
     for k, v in flat.items():
         arr = np.asarray(v)

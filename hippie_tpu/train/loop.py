@@ -59,11 +59,18 @@ def fit(
     seed: int = 42,
     log_fn: Optional[Callable[[dict], None]] = None,
     verbose: bool = True,
+    resume_dir: Optional[str] = None,
 ) -> FitResult:
     """Generic fit driver.
 
     run_train_epoch(state, key, epoch) -> (state, metrics)   # metrics.loss [nb]
     run_val_epoch(state, key, epoch)   -> metrics            # metrics.loss [nb]
+
+    ``resume_dir``: when set, full state (params/BN/optimizer/loop counters)
+    is checkpointed to that orbax directory after every epoch and restored on
+    the next call — exact mid-run resume, which the reference lacks
+    (SURVEY.md §5). Per-epoch RNG derives from (seed, epoch), so the resumed
+    trajectory matches an uninterrupted run.
     """
     root = jax.random.PRNGKey(seed)
     best_val = math.inf
@@ -73,9 +80,27 @@ def fit(
     best_opt = state.opt_state
     wait = 0
     train_losses, val_losses = [], []
+    start_epoch = 0
 
-    epochs_run = 0
-    for epoch in range(max_epochs):
+    if resume_dir is not None:
+        from hippie_tpu.train import orbax_io
+
+        resumed = orbax_io.resume_fit_state(resume_dir, state)
+        if resumed is not None:
+            last_epoch, state, extras = resumed
+            start_epoch = last_epoch + 1
+            best_val = float(extras.get("best_val", math.inf))
+            best_epoch = int(extras.get("best_epoch", -1))
+            wait = int(extras.get("wait", 0))
+            # NOTE: best_* snapshots are only tracked from the resume point
+            # onward unless the best epoch is re-achieved; callers persist the
+            # best ckpt separately (BestTracker writes it to disk eagerly).
+            best_params, best_bn, best_opt = state.params, state.bn_state, state.opt_state
+            if verbose:
+                print(f"Resumed from {resume_dir} at epoch {start_epoch}")
+
+    epochs_run = start_epoch
+    for epoch in range(start_epoch, max_epochs):
         tkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 1)
         vkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 2)
         state, tms = run_train_epoch(state, tkey, epoch)
@@ -103,6 +128,17 @@ def fit(
             wait = 0
         else:
             wait += 1
+            stop_early = early_stopping_patience is not None and wait >= early_stopping_patience
+            if stop_early and resume_dir is None:
+                break
+
+        if resume_dir is not None:
+            from hippie_tpu.train import orbax_io
+
+            orbax_io.save_fit_state(
+                resume_dir, epoch, state,
+                {"best_val": best_val, "best_epoch": best_epoch, "wait": wait},
+            )
             if early_stopping_patience is not None and wait >= early_stopping_patience:
                 break
 

@@ -95,8 +95,8 @@ def adamw_state_to_torch(
     """
     adam = _find_adam_state(opt_state)
     keys = ckpt_mod.parameter_key_order(params, state)
-    mu_flat = ckpt_mod.flatten_interleaved(adam.mu, None)
-    nu_flat = ckpt_mod.flatten_interleaved(adam.nu, None)
+    mu_flat = ckpt_mod.bulk_host_fetch(ckpt_mod.flatten_interleaved(adam.mu, None))
+    nu_flat = ckpt_mod.bulk_host_fetch(ckpt_mod.flatten_interleaved(adam.nu, None))
     step = int(adam.count)
     torch_state = {}
     for i, k in enumerate(keys):

@@ -45,6 +45,7 @@ from hippie_tpu.models import cvae
 from hippie_tpu.ops import preprocess
 from hippie_tpu.train import checkpoint as ckpt_mod
 from hippie_tpu.train import loop, optim, step
+from hippie_tpu.utils.profiling import StageTimer, trace
 
 
 # ---------------------------------------------------------------------------
@@ -85,6 +86,29 @@ class PipelineConfig:
     strict_leakage_guard: bool = False
     verbose: bool = True
     log_fn: Any = None  # optional callable(dict)
+    profile_dir: Optional[str] = None  # jax.profiler trace output (optional)
+    resume: bool = False  # orbax mid-run resume per stage (see train/orbax_io.py)
+
+
+# Jitted model inits: a single compiled call instead of hundreds of eager ops
+# (each eager op pays a full host->device round trip on remote backends).
+# jit returns key-SORTED dicts; the torch-registration insertion order (the
+# state_dict/optimizer-index contract) is restored from an eval_shape template
+# built by the plain python init (no device work).
+_init_unimodal_jit = jax.jit(cvae.unimodal_cvae_init, static_argnums=1)
+_init_multimodal_jit = jax.jit(cvae.multimodal_cvae_init, static_argnums=1)
+
+
+def _init_unimodal(key, cfg_m):
+    p, s = _init_unimodal_jit(key, cfg_m)
+    tp, ts = jax.eval_shape(lambda k: cvae.unimodal_cvae_init(k, cfg_m), key)
+    return ckpt_mod.reorder_like(tp, p), ckpt_mod.reorder_like(ts, s)
+
+
+def _init_multimodal(key, cfg_m):
+    p, s = _init_multimodal_jit(key, cfg_m)
+    tp, ts = jax.eval_shape(lambda k: cvae.multimodal_cvae_init(k, cfg_m), key)
+    return ckpt_mod.reorder_like(tp, p), ckpt_mod.reorder_like(ts, s)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +160,7 @@ def _fork_state(params, bn, tx) -> step.TrainState:
     """
     params = jax.tree_util.tree_map(jnp.copy, params)
     bn = jax.tree_util.tree_map(jnp.copy, bn)
-    return step.TrainState(params, bn, tx.init(params))
+    return step.TrainState(params, bn, jax.jit(tx.init)(params))
 
 
 class BestTracker:
@@ -187,6 +211,7 @@ def _fit_unimodal_stage(
     shuffle_train: bool,
     fixed_train_stream: Optional[np.ndarray] = None,
     stage_seed: int = 0,
+    resume_dir: Optional[str] = None,
 ) -> loop.FitResult:
     """One Trainer.fit equivalent for a unimodal model."""
     train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
@@ -222,6 +247,7 @@ def _fit_unimodal_stage(
         seed=cfg.seed + stage_seed,
         verbose=cfg.verbose,
         log_fn=cfg.log_fn,
+        resume_dir=resume_dir,
     )
 
 
@@ -242,6 +268,7 @@ def _fit_multimodal_stage(
     shuffle_train: bool,
     fixed_train_stream: Optional[np.ndarray] = None,
     stage_seed: int = 0,
+    resume_dir: Optional[str] = None,
 ) -> loop.FitResult:
     train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
         tx,
@@ -280,6 +307,7 @@ def _fit_multimodal_stage(
         seed=cfg.seed + stage_seed,
         verbose=cfg.verbose,
         log_fn=cfg.log_fn,
+        resume_dir=resume_dir,
     )
 
 
@@ -290,6 +318,13 @@ def _finetune_split_indices(cfg: PipelineConfig, n: int, key) -> Tuple[np.ndarra
     if meta is not None and "chip" in cfg.dataset:
         return registry.chip_finetune_split(meta)
     return train_val_split(n, cfg.finetune_split, key)
+
+
+
+def _stage_resume_dir(cfg: PipelineConfig, stage: str) -> Optional[str]:
+    if not cfg.resume:
+        return None
+    return os.path.join(cfg.checkpoint_dir, "resume", stage)
 
 
 # ---------------------------------------------------------------------------
@@ -330,6 +365,12 @@ def export_embeddings_csv(cfg: PipelineConfig, kind: str, embeddings, labels, le
 
 
 def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
+    with trace(cfg.profile_dir):
+        return _run_unimodal_pipeline(cfg)
+
+
+def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
+    timer = StageTimer()
     os.makedirs(cfg.output_dir, exist_ok=True)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     root = jax.random.PRNGKey(cfg.seed)
@@ -353,20 +394,22 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             z_dim=cfg.z_dim, output_size=out_size, class_hidden_dim=cfg.class_hidden_dim,
             num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
         )
-        params, bn = cvae.unimodal_cvae_init(jax.random.fold_in(root, 100 + mi), cfg_m)
-        templates[modality] = cvae.unimodal_cvae_init(jax.random.fold_in(root, 100 + mi), cfg_m)
+        params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
+        templates[modality] = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
         tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip)
         txs[modality] = tx
-        ts = step.TrainState(params, bn, tx.init(params))
+        ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
         if cfg.verbose:
             print(f"[stage 1] pretraining {modality} model ({cvae.param_count(params):,} params)")
-        result = _fit_unimodal_stage(
-            cfg=cfg, ts=ts, tx=tx, data=data, source=pool.source, class_=pool.source,
-            train_indices=tr_idx, val_indices=va_idx, batch_size=cfg.batch_size,
-            max_epochs=cfg.pretrain_max_epochs, beta=1.0,  # quirk Q6
-            use_class_labels=False, shuffle_train=True, stage_seed=10 + mi,
-        )
+        with timer.stage(f"pretrain_{modality}"):
+            result = _fit_unimodal_stage(
+                cfg=cfg, ts=ts, tx=tx, data=data, source=pool.source, class_=pool.source,
+                train_indices=tr_idx, val_indices=va_idx, batch_size=cfg.batch_size,
+                max_epochs=cfg.pretrain_max_epochs, beta=1.0,  # quirk Q6
+                use_class_labels=False, shuffle_train=True, stage_seed=10 + mi,
+                resume_dir=_stage_resume_dir(cfg, f"pretrain_{modality}"),
+            )
         tracker.update_from_fit(result, templates[modality], (cfg.learning_rate, cfg.weight_decay))
         # Reference reloads the best ckpt after stage 1 (train_model.py:160-163).
         states[modality] = step.TrainState(tracker.best_params, tracker.best_bn, None)
@@ -391,13 +434,15 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             ts = _fork_state(st.params, st.bn_state, tx)
             if cfg.verbose:
                 print(f"[stage 2] fine-tuning {modality} model on {cfg.dataset} (lr={ft_lr})")
-            result = _fit_unimodal_stage(
-                cfg=cfg, ts=ts, tx=tx, data=data, source=target.source, class_=target.source,
-                train_indices=ft_tr, val_indices=ft_va, batch_size=cfg.batch_size,
-                max_epochs=cfg.finetune_max_epochs, beta=1.0, use_class_labels=False,
-                shuffle_train=False,  # reference uses shuffle=False here (train_model.py:198-199)
-                stage_seed=20 + mi,
-            )
+            with timer.stage(f"finetune_{modality}"):
+                result = _fit_unimodal_stage(
+                    cfg=cfg, ts=ts, tx=tx, data=data, source=target.source, class_=target.source,
+                    train_indices=ft_tr, val_indices=ft_va, batch_size=cfg.batch_size,
+                    max_epochs=cfg.finetune_max_epochs, beta=1.0, use_class_labels=False,
+                    shuffle_train=False,  # reference uses shuffle=False here (train_model.py:198-199)
+                    stage_seed=20 + mi,
+                    resume_dir=_stage_resume_dir(cfg, f"finetune_{modality}"),
+                )
             trackers[modality].update_from_fit(result, templates[modality], (ft_lr, cfg.weight_decay))
             # Unimodal stage-2 embeddings use the LAST-epoch model (train_model.py:235).
             states[modality] = step.TrainState(result.state.params, result.state.bn_state, None)
@@ -439,7 +484,7 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             num_sources=num_sources, num_classes=num_class_labels,
             num_blocks=tuple(cfg.num_blocks),
         )
-        template = cvae.unimodal_cvae_init(jax.random.fold_in(root, 200 + mi), cfg_m)
+        template = _init_unimodal(jax.random.fold_in(root, 200 + mi), cfg_m)
         # Load the cross-stage best ckpt minus the class embedding (quirk Q10).
         loaded = ckpt_mod.load_lightning_ckpt(trackers[modality].path)
         params, bn, _, _ = ckpt_mod.from_torch_state_dict(
@@ -447,7 +492,7 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             drop_keys=("class_embedding.weight",),
         )
         tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
-        ts = step.TrainState(params, bn, tx.init(params))
+        ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         stream = sampling.balanced_indices(label_train, seed=cfg.seed)
         train_stream = np.asarray(s_tr)[stream]
         tracker = BestTracker(
@@ -455,13 +500,15 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         )
         if cfg.verbose:
             print(f"[stage 3] supervised {modality} training ({num_class_labels} classes)")
-        result = _fit_unimodal_stage(
-            cfg=cfg, ts=ts, tx=tx, data=data, source=source_dev, class_=labels_dev,
-            train_indices=np.asarray(s_tr), val_indices=np.asarray(s_va),
-            batch_size=cfg.supervised_batch_size, max_epochs=cfg.supervised_max_epochs,
-            beta=1.0, use_class_labels=True, shuffle_train=False,
-            fixed_train_stream=train_stream, stage_seed=30 + mi,
-        )
+        with timer.stage(f"supervised_{modality}"):
+            result = _fit_unimodal_stage(
+                cfg=cfg, ts=ts, tx=tx, data=data, source=source_dev, class_=labels_dev,
+                train_indices=np.asarray(s_tr), val_indices=np.asarray(s_va),
+                batch_size=cfg.supervised_batch_size, max_epochs=cfg.supervised_max_epochs,
+                beta=1.0, use_class_labels=True, shuffle_train=False,
+                fixed_train_stream=train_stream, stage_seed=30 + mi,
+                resume_dir=_stage_resume_dir(cfg, f"supervised_{modality}"),
+            )
         tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         best_p = tracker.best_params if tracker.best_params is not None else result.state.params
         best_bn = tracker.best_bn if tracker.best_bn is not None else result.state.bn_state
@@ -527,6 +574,9 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     results["label_val"] = label_val
     results["label_train"] = label_train
+    results["timings"] = dict(timer.timings)
+    if cfg.verbose and timer.timings:
+        print("stage timings:", timer.summary())
     return results
 
 
@@ -548,10 +598,10 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         z_dim=cfg.z_dim, class_hidden_dim=cfg.class_hidden_dim,
         num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
     )
-    template = cvae.multimodal_cvae_init(jax.random.fold_in(root, 100), mm_cfg)
-    params, bn = cvae.multimodal_cvae_init(jax.random.fold_in(root, 100), mm_cfg)
+    template = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
+    params, bn = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
     tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val)
-    ts = step.TrainState(params, bn, tx.init(params))
+    ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
     tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_joint_model.ckpt"))
 
     if cfg.verbose:
@@ -617,13 +667,13 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         num_sources=num_sources, num_classes=num_class_labels,
         num_blocks=tuple(cfg.num_blocks),
     )
-    template = cvae.multimodal_cvae_init(jax.random.fold_in(root, 200), mm_cfg_sup)
+    template = _init_multimodal(jax.random.fold_in(root, 200), mm_cfg_sup)
     loaded = ckpt_mod.load_lightning_ckpt(tracker.path)
     params, bn, _, _ = ckpt_mod.from_torch_state_dict(
         loaded["state_dict"], template[0], template[1], drop_keys=("class_embedding.weight",)
     )
     tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
-    ts = step.TrainState(params, bn, tx.init(params))
+    ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
     stream = sampling.balanced_indices(label_train, seed=cfg.seed)
     train_stream = np.asarray(s_tr)[stream]
     labels_dev = jnp.asarray(sup_labels.astype(np.int32))

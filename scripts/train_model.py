@@ -54,6 +54,10 @@ def build_parser():
     parser.add_argument("--wandb", action="store_true", help="enable wandb logging if installed")
     parser.add_argument("--strict-leakage-guard", action="store_true",
                         help="also exclude sister juxtacellular datasets (fixes quirk Q2)")
+    parser.add_argument("--resume", action="store_true",
+                        help="orbax mid-run resume: continue interrupted stages exactly")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace of the run here")
     return parser
 
 
@@ -94,6 +98,8 @@ def run(args, model_type: str = "unimodal"):
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
         strict_leakage_guard=args.strict_leakage_guard,
+        resume=args.resume,
+        profile_dir=args.profile_dir,
         log_fn=(lambda d: wandb.log(d)) if wandb_shim.is_enabled() else None,
     )
 

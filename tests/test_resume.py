@@ -1,0 +1,54 @@
+"""Mid-run resume: an interrupted fit must reproduce the uninterrupted one."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hippie_tpu.data.device_data import batch_plan
+from hippie_tpu.models import cvae
+from hippie_tpu.train import loop, optim, step
+
+
+def _setup():
+    cfg = cvae.CVAEConfig(z_dim=4, output_size=50, num_blocks=(1, 1, 1, 1))
+    params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(1e-3, 0.01)
+    ts = step.TrainState(params, bn, tx.init(params))
+    train_epoch, eval_epoch = step.make_unimodal_epoch_fns(tx, beta=1.0, use_class_labels=False)
+    n = 48
+    data = jnp.asarray(np.random.default_rng(0).normal(size=(n, 50)).astype(np.float32))
+    source = jnp.zeros((n,), jnp.int32)
+    tr_idx, tr_mask = batch_plan(np.arange(32), 16, shuffle=False)
+    va_idx, va_mask = batch_plan(np.arange(32, 48), 16, shuffle=False)
+
+    def run_train(state, key, epoch):
+        return train_epoch(state, data, source, source, jnp.asarray(tr_idx), jnp.asarray(tr_mask), key)
+
+    def run_val(state, key, epoch):
+        return eval_epoch(state.params, state.bn_state, data, source, source,
+                          jnp.asarray(va_idx), jnp.asarray(va_mask), key)
+
+    return ts, run_train, run_val
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    ts, run_train, run_val = _setup()
+    full = loop.fit(ts, run_train_epoch=run_train, run_val_epoch=run_val,
+                    max_epochs=4, seed=11, verbose=False)
+
+    ts2, run_train, run_val = _setup()
+    rdir = str(tmp_path / "resume")
+    part1 = loop.fit(ts2, run_train_epoch=run_train, run_val_epoch=run_val,
+                     max_epochs=2, seed=11, verbose=False, resume_dir=rdir)
+    # "crash" after epoch 2; resume to 4
+    part2 = loop.fit(part1.state, run_train_epoch=run_train, run_val_epoch=run_val,
+                     max_epochs=4, seed=11, verbose=False, resume_dir=rdir)
+
+    assert part2.epochs_run == 4
+    np.testing.assert_allclose(part2.val_losses, full.val_losses[2:], rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.state.params),
+        jax.tree_util.tree_leaves(part2.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
