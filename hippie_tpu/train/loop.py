@@ -107,6 +107,15 @@ def fit(
         vms = run_val_epoch(state, vkey, epoch)
         train_loss = float(np.mean(np.asarray(tms.loss)))
         val_loss = float(np.mean(np.asarray(vms.loss)))
+        if not math.isfinite(train_loss):
+            # Failure detection (the reference has none, SURVEY.md §5): a
+            # non-finite loss means diverged training — fail loudly with
+            # context instead of silently optimizing NaNs for the remaining
+            # epochs.
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch}: {train_loss} "
+                f"(val={val_loss}); lower the learning rate or enable clipping"
+            )
         train_losses.append(train_loss)
         val_losses.append(val_loss)
         epochs_run = epoch + 1

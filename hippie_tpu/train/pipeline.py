@@ -586,6 +586,12 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
 
 def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
+    with trace(cfg.profile_dir):
+        return _run_multimodal_pipeline(cfg)
+
+
+def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
+    timer = StageTimer()
     os.makedirs(cfg.output_dir, exist_ok=True)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     root = jax.random.PRNGKey(cfg.seed)
@@ -606,12 +612,14 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     if cfg.verbose:
         print(f"[stage 1] pretraining joint model ({cvae.param_count(params):,} params)")
-    result = _fit_multimodal_stage(
-        cfg=cfg, ts=ts, tx=tx, wave=pool.wave, isi=pool.isi, source=pool.source,
-        class_=pool.source, train_indices=tr_idx, val_indices=va_idx,
-        batch_size=cfg.batch_size, max_epochs=cfg.pretrain_max_epochs,
-        use_class_labels=False, shuffle_train=True, stage_seed=10,
-    )
+    with timer.stage("pretrain_joint"):
+        result = _fit_multimodal_stage(
+            cfg=cfg, ts=ts, tx=tx, wave=pool.wave, isi=pool.isi, source=pool.source,
+            class_=pool.source, train_indices=tr_idx, val_indices=va_idx,
+            batch_size=cfg.batch_size, max_epochs=cfg.pretrain_max_epochs,
+            use_class_labels=False, shuffle_train=True, stage_seed=10,
+            resume_dir=_stage_resume_dir(cfg, "pretrain_joint"),
+        )
     tracker.update_from_fit(result, template, (cfg.learning_rate, cfg.weight_decay))
     state = step.TrainState(tracker.best_params, tracker.best_bn, None)
 
@@ -629,13 +637,15 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         ts = _fork_state(state.params, state.bn_state, tx)
         if cfg.verbose:
             print(f"[stage 2] fine-tuning joint model on {cfg.dataset} (lr={ft_lr})")
-        result = _fit_multimodal_stage(
-            cfg=cfg, ts=ts, tx=tx, wave=target.wave, isi=target.isi,
-            source=target.source, class_=target.source,
-            train_indices=ft_tr, val_indices=ft_va, batch_size=cfg.batch_size,
-            max_epochs=cfg.finetune_max_epochs, use_class_labels=False,
-            shuffle_train=False, stage_seed=20,
-        )
+        with timer.stage("finetune_joint"):
+            result = _fit_multimodal_stage(
+                cfg=cfg, ts=ts, tx=tx, wave=target.wave, isi=target.isi,
+                source=target.source, class_=target.source,
+                train_indices=ft_tr, val_indices=ft_va, batch_size=cfg.batch_size,
+                max_epochs=cfg.finetune_max_epochs, use_class_labels=False,
+                shuffle_train=False, stage_seed=20,
+                resume_dir=_stage_resume_dir(cfg, "finetune_joint"),
+            )
         tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         # Multimodal stage 2 reloads the best ckpt and embeds the fine-tune
         # TEST split (…multimodal.py:772-777).
@@ -683,13 +693,15 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     )
     if cfg.verbose:
         print(f"[stage 3] supervised joint training ({num_class_labels} classes)")
-    result = _fit_multimodal_stage(
-        cfg=cfg, ts=ts, tx=tx, wave=sup_wave, isi=sup_isi_p, source=source_dev,
-        class_=labels_dev, train_indices=np.asarray(s_tr), val_indices=np.asarray(s_va),
-        batch_size=cfg.supervised_batch_size, max_epochs=cfg.supervised_max_epochs,
-        use_class_labels=True, shuffle_train=False,
-        fixed_train_stream=train_stream, stage_seed=30,
-    )
+    with timer.stage("supervised_joint"):
+        result = _fit_multimodal_stage(
+            cfg=cfg, ts=ts, tx=tx, wave=sup_wave, isi=sup_isi_p, source=source_dev,
+            class_=labels_dev, train_indices=np.asarray(s_tr), val_indices=np.asarray(s_va),
+            batch_size=cfg.supervised_batch_size, max_epochs=cfg.supervised_max_epochs,
+            use_class_labels=True, shuffle_train=False,
+            fixed_train_stream=train_stream, stage_seed=30,
+            resume_dir=_stage_resume_dir(cfg, "supervised_joint"),
+        )
     sup_tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
     best_p = sup_tracker.best_params if sup_tracker.best_params is not None else result.state.params
     best_bn = sup_tracker.best_bn if sup_tracker.best_bn is not None else result.state.bn_state
@@ -739,6 +751,9 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         emb.embed_multimodal(best_p, best_bn, sup_wave, sup_isi_p, source_dev, labels_dev)
     )
     results["paths"]["joint_embeddings"] = export_embeddings_csv(cfg, "joint", joint_all, sup_labels, le)
+    results["timings"] = dict(timer.timings)
+    if cfg.verbose and timer.timings:
+        print("stage timings:", timer.summary())
     return results
 
 

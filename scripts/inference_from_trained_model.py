@@ -137,42 +137,67 @@ def main(argv=None):
         df.to_csv(out_path, index=False)
         print(f"Saved k-means clusters (k={args.cluster}, inertia={float(inertia):.4f}) to {out_path}")
 
-    # UMAP visualizations (optional dependency).
+    # 2-D visualizations: UMAP when umap-learn is installed (reference
+    # behavior), else a PCA projection so plots always exist.
     try:
         import umap  # noqa: F401
 
         have_umap = True
     except ImportError:
         have_umap = False
-        print("umap-learn not installed; skipping UMAP visualizations")
+        print("umap-learn not installed; falling back to PCA projections")
 
-    if have_umap:
-        import matplotlib
+    import matplotlib
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
 
-        def create_umap_plot(embeddings, labels, title, output_path):
-            reducer = umap.UMAP(random_state=42)
-            u = reducer.fit_transform(embeddings)
-            plt.figure(figsize=(10, 8))
-            if len(np.unique(labels)) > 1:
-                sc = plt.scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
-                plt.colorbar(sc, label="Label")
-            else:
-                plt.scatter(u[:, 0], u[:, 1], alpha=0.7, s=10)
-            plt.title(title)
-            plt.xlabel("UMAP 1")
-            plt.ylabel("UMAP 2")
-            plt.tight_layout()
-            plt.savefig(output_path, dpi=300, bbox_inches="tight")
-            plt.close()
+    def project_2d(embeddings):
+        if have_umap:
+            return umap.UMAP(random_state=42).fit_transform(embeddings), "UMAP"
+        x = np.asarray(embeddings, np.float64)
+        x = x - x.mean(axis=0)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        return x @ vt[:2].T, "PCA"
 
-        print("Generating UMAP visualizations...")
-        for kind, arr in zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb]):
-            out_path = os.path.join(args.output_dir, f"{args.dataset}_{kind}_umap.png")
-            create_umap_plot(arr, labels, f"{args.dataset} {kind} embeddings", out_path)
-            print(f"Saved {kind} UMAP visualization to {out_path}")
+    def create_plot(embeddings, labels, title, output_path):
+        u, method = project_2d(embeddings)
+        plt.figure(figsize=(10, 8))
+        if len(np.unique(labels)) > 1:
+            sc = plt.scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
+            plt.colorbar(sc, label="Label")
+        else:
+            plt.scatter(u[:, 0], u[:, 1], alpha=0.7, s=10)
+        plt.title(title)
+        plt.xlabel(f"{method} 1")
+        plt.ylabel(f"{method} 2")
+        plt.tight_layout()
+        plt.savefig(output_path, dpi=300, bbox_inches="tight")
+        plt.close()
+
+    print("Generating 2-D visualizations...")
+    for kind, arr in zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb]):
+        out_path = os.path.join(args.output_dir, f"{args.dataset}_{kind}_umap.png")
+        create_plot(arr, labels, f"{args.dataset} {kind} embeddings", out_path)
+        print(f"Saved {kind} visualization to {out_path}")
+
+    # 3-panel modality comparison (reference: inference…py:195-220).
+    if labels is not None and len(np.unique(labels)) > 1:
+        print("Generating comparison plots...")
+        fig, axs = plt.subplots(1, 3, figsize=(18, 6))
+        for idx, (kind, arr) in enumerate(
+            zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb])
+        ):
+            u, method = project_2d(arr)
+            sc = axs[idx].scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
+            axs[idx].set_title(f"{kind} embeddings")
+            axs[idx].set_xlabel(f"{method} 1")
+            axs[idx].set_ylabel(f"{method} 2")
+        fig.colorbar(sc, ax=axs, label="Label")
+        out_path = os.path.join(args.output_dir, f"{args.dataset}_comparison_umap.png")
+        plt.savefig(out_path, dpi=300, bbox_inches="tight")
+        plt.close()
+        print(f"Saved comparison visualization to {out_path}")
 
     print("Inference completed successfully!")
 
