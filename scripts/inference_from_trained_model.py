@@ -34,7 +34,9 @@ def build_parser():
     parser.add_argument("--data-root", type=str, default="datasets")
     parser.add_argument("--num-sources", type=int, default=5)
     parser.add_argument("--cluster", type=int, default=0,
-                        help="If >0, also run on-device k-means with this many clusters")
+                        help="If >0, also cluster the joint embeddings on device with this many clusters")
+    parser.add_argument("--cluster-method", type=str, choices=["kmeans", "gmm"], default="kmeans",
+                        help="On-device clustering algorithm for --cluster")
     parser.add_argument("--seed", type=int, default=42)
     return parser
 
@@ -128,14 +130,21 @@ def main(argv=None):
     if args.cluster > 0:
         from hippie_tpu.ops import clustering
 
-        assign, centers, inertia = clustering.kmeans(
-            jnp.asarray(joint_emb), args.cluster, seed=args.seed
-        )
+        if args.cluster_method == "gmm":
+            assign, means, var, weights, ll = clustering.gmm(
+                jnp.asarray(joint_emb), args.cluster, seed=args.seed
+            )
+            detail = f"log-likelihood={float(ll):.4f}"
+        else:
+            assign, centers, inertia = clustering.kmeans(
+                jnp.asarray(joint_emb), args.cluster, seed=args.seed
+            )
+            detail = f"inertia={float(inertia):.4f}"
         df = pd.DataFrame({"cluster": np.asarray(assign)})
         df["label"] = labels
         out_path = os.path.join(args.output_dir, f"{args.dataset}_joint_clusters.csv")
         df.to_csv(out_path, index=False)
-        print(f"Saved k-means clusters (k={args.cluster}, inertia={float(inertia):.4f}) to {out_path}")
+        print(f"Saved {args.cluster_method} clusters (k={args.cluster}, {detail}) to {out_path}")
 
     # 2-D visualizations: UMAP when umap-learn is installed (reference
     # behavior), else a PCA projection so plots always exist.

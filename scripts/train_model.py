@@ -58,6 +58,8 @@ def build_parser():
                         help="orbax mid-run resume: continue interrupted stages exactly")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax.profiler trace of the run here")
+    parser.add_argument("--log-file", type=str, default=None,
+                        help="append per-epoch metrics as JSON lines to this file")
     return parser
 
 
@@ -71,6 +73,15 @@ def run(args, model_type: str = "unimodal"):
     wandb = wandb_shim.get()
     if wandb_shim.is_enabled():
         wandb.init(project=args.project, name=f"{args.wandb_tag}{args.dataset}_{model_type}_{args.z_dim}")
+
+    from hippie_tpu.utils.logging import JsonlLogger
+
+    sinks = []
+    if wandb_shim.is_enabled():
+        sinks.append(lambda d: wandb.log(d))
+    log_fn = JsonlLogger(getattr(args, "log_file", None), also=sinks) if (
+        getattr(args, "log_file", None) or sinks
+    ) else None
 
     cfg = PipelineConfig(
         z_dim=args.z_dim,
@@ -100,7 +111,7 @@ def run(args, model_type: str = "unimodal"):
         strict_leakage_guard=args.strict_leakage_guard,
         resume=args.resume,
         profile_dir=args.profile_dir,
-        log_fn=(lambda d: wandb.log(d)) if wandb_shim.is_enabled() else None,
+        log_fn=log_fn,
     )
 
     results = run_pipeline(cfg)
