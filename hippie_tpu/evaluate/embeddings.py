@@ -46,10 +46,37 @@ def _embed_unimodal(params, bn_state, data, source, class_, use_class: bool):
         return zscore_rows(enc)
 
 
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Next power-of-two row count >= n. Embedding inputs are padded to
+    bucketed sizes so every extraction in a pipeline run shares one compiled
+    executable per model config (recompiles per exact N would dominate
+    pipeline wall-clock on remote-compile backends)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_rows(x, rows: int):
+    pad = rows - x.shape[0]
+    if pad == 0:
+        return x
+    return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
 def embed_unimodal(params, bn_state, data, source, class_=None) -> jnp.ndarray:
-    """[N, L] -> z-scored [N, z] embeddings (single compiled forward)."""
-    dummy = source if class_ is None else class_
-    return _embed_unimodal(params, bn_state, data, source, dummy, class_ is not None)
+    """[N, L] -> z-scored [N, z] embeddings (single compiled forward).
+
+    Eval mode uses running BN stats, so padded rows cannot influence real
+    rows; they are sliced off the result.
+    """
+    n = data.shape[0]
+    b = _bucket(n)
+    data = _pad_rows(jnp.asarray(data), b)
+    source = _pad_rows(jnp.asarray(source), b)
+    dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
+    out = _embed_unimodal(params, bn_state, data, source, dummy, class_ is not None)
+    return out[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("use_class",))
@@ -62,8 +89,14 @@ def _embed_multimodal(params, bn_state, wave, isi, source, class_, use_class: bo
 
 
 def embed_multimodal(params, bn_state, wave, isi, source, class_=None) -> jnp.ndarray:
-    dummy = source if class_ is None else class_
-    return _embed_multimodal(params, bn_state, wave, isi, source, dummy, class_ is not None)
+    n = wave.shape[0]
+    b = _bucket(n)
+    wave = _pad_rows(jnp.asarray(wave), b)
+    isi = _pad_rows(jnp.asarray(isi), b)
+    source = _pad_rows(jnp.asarray(source), b)
+    dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
+    out = _embed_multimodal(params, bn_state, wave, isi, source, dummy, class_ is not None)
+    return out[:n]
 
 
 def get_embeddings(

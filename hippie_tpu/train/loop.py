@@ -25,6 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def device_clone(tree):
+    """Deep-copy a pytree's device buffers in ONE compiled call.
+
+    Per-leaf eager jnp.copy pays a dispatch round trip per leaf on remote
+    backends (~minutes for optimizer+param trees); this is a single dispatch.
+    """
+    return jax.tree_util.tree_map(jnp.copy, tree)
+
+
 def limit_batches(plan, limit):
     """Apply a Lightning-style limit (None | float fraction | int count)."""
     idx, mask = plan
@@ -131,9 +141,9 @@ def fit(
             best_epoch = epoch
             # Real device copies: the live state's buffers get donated to the
             # next epoch's jit call, which would invalidate mere aliases.
-            best_params = jax.tree_util.tree_map(jnp.copy, state.params)
-            best_bn = jax.tree_util.tree_map(jnp.copy, state.bn_state)
-            best_opt = jax.tree_util.tree_map(jnp.copy, state.opt_state)
+            best_params, best_bn, best_opt = device_clone(
+                (state.params, state.bn_state, state.opt_state)
+            )
             wait = 0
         else:
             wait += 1

@@ -158,8 +158,7 @@ def _fork_state(params, bn, tx) -> step.TrainState:
     tracker's best trees would invalidate the tracker (and anything else
     holding those arrays) on the first donated step.
     """
-    params = jax.tree_util.tree_map(jnp.copy, params)
-    bn = jax.tree_util.tree_map(jnp.copy, bn)
+    params, bn = loop.device_clone((params, bn))
     return step.TrainState(params, bn, jax.jit(tx.init)(params))
 
 
@@ -376,7 +375,8 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     root = jax.random.PRNGKey(cfg.seed)
 
     # ---------------- Stage 1: leave-target-out pretraining ----------------
-    pool = load_pretrain_pool(cfg)
+    with timer.stage("load_pool"):
+        pool = load_pretrain_pool(cfg)
     tr_idx, va_idx = train_val_split(len(pool), cfg.train_val_split, jax.random.fold_in(root, 0))
 
     num_sources = registry.NUM_SOURCES
@@ -394,11 +394,12 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             z_dim=cfg.z_dim, output_size=out_size, class_hidden_dim=cfg.class_hidden_dim,
             num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
         )
-        params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
-        templates[modality] = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
-        tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip)
-        txs[modality] = tx
-        ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
+        with timer.stage("setup"):
+            params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
+            templates[modality] = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
+            tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip)
+            txs[modality] = tx
+            ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
         if cfg.verbose:
             print(f"[stage 1] pretraining {modality} model ({cvae.param_count(params):,} params)")
@@ -410,13 +411,15 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 use_class_labels=False, shuffle_train=True, stage_seed=10 + mi,
                 resume_dir=_stage_resume_dir(cfg, f"pretrain_{modality}"),
             )
-        tracker.update_from_fit(result, templates[modality], (cfg.learning_rate, cfg.weight_decay))
+        with timer.stage("ckpt_save"):
+            tracker.update_from_fit(result, templates[modality], (cfg.learning_rate, cfg.weight_decay))
         # Reference reloads the best ckpt after stage 1 (train_model.py:160-163).
         states[modality] = step.TrainState(tracker.best_params, tracker.best_bn, None)
         trackers[modality] = tracker
 
     # ---------------- Stage 2: unsupervised fine-tune on the target --------
-    target = load_dataset(cfg, cfg.dataset, dropna=True)  # quirk Q13
+    with timer.stage("load_target"):
+        target = load_dataset(cfg, cfg.dataset, dropna=True)  # quirk Q13
     target_source_id = registry.DATASET_SOURCE_IDS.get(cfg.dataset, 0)
     target = ArrayDataset(
         wave=target.wave, isi=target.isi,
@@ -443,7 +446,8 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                     stage_seed=20 + mi,
                     resume_dir=_stage_resume_dir(cfg, f"finetune_{modality}"),
                 )
-            trackers[modality].update_from_fit(result, templates[modality], (ft_lr, cfg.weight_decay))
+            with timer.stage("ckpt_save"):
+                trackers[modality].update_from_fit(result, templates[modality], (ft_lr, cfg.weight_decay))
             # Unimodal stage-2 embeddings use the LAST-epoch model (train_model.py:235).
             states[modality] = step.TrainState(result.state.params, result.state.bn_state, None)
         emb_idx = jnp.asarray(ft_tr)
@@ -452,18 +456,21 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     wave_tree = (states["wave"].params, states["wave"].bn_state)
     time_tree = (states["time"].params, states["time"].bn_state)
+    timer_embed = timer.stage("embeddings"); timer_embed.__enter__()
     ft_wave_emb, ft_isi_emb, ft_joint_emb = emb.get_embeddings(
         wave_tree, time_tree,
         target.wave[emb_idx], target.isi[emb_idx], target.source[emb_idx],
     )
+    timer_embed.__exit__(None, None, None)
     pretrain_paths = export_pretraining_embeddings(
         cfg, {"waveform": ft_wave_emb, "isi": ft_isi_emb, "joint": ft_joint_emb}
     )
 
     # ---------------- Stage 3: supervised with class conditioning ----------
-    sup_wf, sup_isi = registry.load_raw(cfg.data_root, cfg.dataset)  # no dropna (Q13)
-    sup_wave, sup_isi_p = preprocess.preprocess_pair(jnp.asarray(sup_wf), jnp.asarray(sup_isi))
-    sup_labels, le = registry.load_supervised_labels(cfg.data_root, cfg.dataset)
+    with timer.stage("load_target"):
+        sup_wf, sup_isi = registry.load_raw(cfg.data_root, cfg.dataset)  # no dropna (Q13)
+        sup_wave, sup_isi_p = preprocess.preprocess_pair(jnp.asarray(sup_wf), jnp.asarray(sup_isi))
+        sup_labels, le = registry.load_supervised_labels(cfg.data_root, cfg.dataset)
 
     n = len(sup_wf)
     s_tr, s_va = train_val_split(n, cfg.train_val_split, jax.random.fold_in(root, 2))
@@ -484,15 +491,16 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             num_sources=num_sources, num_classes=num_class_labels,
             num_blocks=tuple(cfg.num_blocks),
         )
-        template = _init_unimodal(jax.random.fold_in(root, 200 + mi), cfg_m)
-        # Load the cross-stage best ckpt minus the class embedding (quirk Q10).
-        loaded = ckpt_mod.load_lightning_ckpt(trackers[modality].path)
-        params, bn, _, _ = ckpt_mod.from_torch_state_dict(
-            loaded["state_dict"], template[0], template[1],
-            drop_keys=("class_embedding.weight",),
-        )
-        tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
-        ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
+        with timer.stage("setup"):
+            template = _init_unimodal(jax.random.fold_in(root, 200 + mi), cfg_m)
+            # Load the cross-stage best ckpt minus the class embedding (quirk Q10).
+            loaded = ckpt_mod.load_lightning_ckpt(trackers[modality].path)
+            params, bn, _, _ = ckpt_mod.from_torch_state_dict(
+                loaded["state_dict"], template[0], template[1],
+                drop_keys=("class_embedding.weight",),
+            )
+            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
+            ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         stream = sampling.balanced_indices(label_train, seed=cfg.seed)
         train_stream = np.asarray(s_tr)[stream]
         tracker = BestTracker(
@@ -509,7 +517,8 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 fixed_train_stream=train_stream, stage_seed=30 + mi,
                 resume_dir=_stage_resume_dir(cfg, f"supervised_{modality}"),
             )
-        tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
+        with timer.stage("ckpt_save"):
+            tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         best_p = tracker.best_params if tracker.best_params is not None else result.state.params
         best_bn = tracker.best_bn if tracker.best_bn is not None else result.state.bn_state
         sup_states[modality] = step.TrainState(best_p, best_bn, None)
@@ -521,6 +530,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     tr_idx_dev = jnp.asarray(s_tr)
     va_idx_dev = jnp.asarray(s_va)
+    timer_embed2 = timer.stage("embeddings"); timer_embed2.__enter__()
     wave_tr, isi_tr, joint_tr = emb.get_embeddings(
         wave_tree, time_tree, sup_wave[tr_idx_dev], sup_isi_p[tr_idx_dev],
         source_dev[tr_idx_dev], labels_dev[tr_idx_dev],
@@ -530,17 +540,19 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         source_dev[va_idx_dev], labels_dev[va_idx_dev],
     )
 
+    timer_embed2.__exit__(None, None, None)
     neighbor_options = list(range(5, 20))  # train_model.py:419
     accs: Dict[str, List[float]] = {}
     preds_by_kind: Dict[str, Dict[int, np.ndarray]] = {}
-    for kind, e_tr, e_va in (
-        ("joint", joint_tr, joint_va),
-        ("waveform", wave_tr, wave_va),
-        ("isi", isi_tr, isi_va),
-    ):
-        preds = knn_eval.knn_predict_sweep(e_tr, label_train, e_va, neighbor_options)
-        preds_by_kind[kind] = preds
-        accs[kind] = [metrics.balanced_accuracy_score(label_val, preds[k]) for k in neighbor_options]
+    with timer.stage("knn_eval"):
+        for kind, e_tr, e_va in (
+            ("joint", joint_tr, joint_va),
+            ("waveform", wave_tr, wave_va),
+            ("isi", isi_tr, isi_va),
+        ):
+            preds = knn_eval.knn_predict_sweep(e_tr, label_train, e_va, neighbor_options)
+            preds_by_kind[kind] = preds
+            accs[kind] = [metrics.balanced_accuracy_score(label_val, preds[k]) for k in neighbor_options]
 
     results: Dict[str, Any] = {
         "label_encoder": le,
@@ -566,9 +578,10 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         results["paths"][f"{kind}_knn"] = export_knn_csv(cfg, kind, pred, label_val, le)
 
     # Full-dataset embeddings export (train_model.py:480-507).
-    wave_all, isi_all, joint_all = emb.get_embeddings(
-        wave_tree, time_tree, sup_wave, sup_isi_p, source_dev, labels_dev
-    )
+    with timer.stage("embeddings"):
+        wave_all, isi_all, joint_all = emb.get_embeddings(
+            wave_tree, time_tree, sup_wave, sup_isi_p, source_dev, labels_dev
+        )
     for kind, arr in (("waveform", wave_all), ("isi", isi_all), ("joint", joint_all)):
         results["paths"][f"{kind}_embeddings"] = export_embeddings_csv(cfg, kind, arr, sup_labels, le)
 
