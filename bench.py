@@ -28,6 +28,9 @@ BASELINE_WAVEFORMS_PER_SEC = 2 * 3 * REFERENCE_EPOCH_SAMPLES / 2700.0  # 43.42
 
 
 def main():
+    from hippie_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

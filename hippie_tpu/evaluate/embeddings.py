@@ -46,7 +46,7 @@ def _embed_unimodal(params, bn_state, data, source, class_, use_class: bool):
         return zscore_rows(enc)
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
+def _bucket(n: int, minimum: int = 512) -> int:
     """Next power-of-two row count >= n. Embedding inputs are padded to
     bucketed sizes so every extraction in a pipeline run shares one compiled
     executable per model config (recompiles per exact N would dominate

@@ -44,6 +44,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from hippie_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

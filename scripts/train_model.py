@@ -64,6 +64,9 @@ def build_parser():
 
 
 def run(args, model_type: str = "unimodal"):
+    from hippie_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from hippie_tpu.train.pipeline import PipelineConfig, run_pipeline
     from hippie_tpu.evaluate.confmat import make_confmat
     from hippie_tpu.utils import wandb_shim
