@@ -46,6 +46,33 @@ def batch_sharded(mesh: Mesh, *, batch_axis: int = 1, ndim: int = 2) -> NamedSha
     return NamedSharding(mesh, P(*spec))
 
 
+def fsdp_sharding_for(mesh: Mesh, leaf, axis: str = "data") -> NamedSharding:
+    """ZeRO/FSDP-style sharding spec for one parameter leaf.
+
+    Shards the largest axis whose size divides the mesh axis; leaves that
+    cannot be split evenly (tiny biases, 5-wide embeddings) stay replicated.
+    GSPMD then all-gathers shards on use and keeps optimizer state sharded.
+    """
+    n = mesh.shape[axis]
+    shape = getattr(leaf, "shape", ())
+    if not shape:
+        return replicated(mesh)
+    candidates = [(size, i) for i, size in enumerate(shape) if size % n == 0 and size >= n]
+    if not candidates:
+        return replicated(mesh)
+    _, dim = max(candidates)
+    spec = [None] * len(shape)
+    spec[dim] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_params_fsdp(mesh: Mesh, tree, axis: str = "data"):
+    """Place a pytree with per-leaf FSDP shardings (see fsdp_sharding_for)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, fsdp_sharding_for(mesh, x, axis)), tree
+    )
+
+
 def shard_epoch_inputs(mesh: Mesh, ts, data_arrays: Tuple, idx, mask):
     """Place TrainState + dataset replicated; shard the epoch plan on 'data'.
 
