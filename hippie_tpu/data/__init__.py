@@ -1,1 +1,1 @@
-from hippie_tpu.data import registry, device_data, sampling  # noqa: F401
+from hippie_tpu.data import registry, device_data, sampling, fastcsv, synth  # noqa: F401

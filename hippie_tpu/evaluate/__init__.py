@@ -1,1 +1,1 @@
-from hippie_tpu.evaluate import embeddings, knn_eval, metrics, confmat  # noqa: F401
+from hippie_tpu.evaluate import embeddings, knn_eval, metrics, confmat, kfolds  # noqa: F401

@@ -12,7 +12,7 @@ signature, reading a dataset directory and yielding per-fold arrays.
 from __future__ import annotations
 
 import os
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from hippie_tpu.nn import init as tinit
 from hippie_tpu.nn.functional import (

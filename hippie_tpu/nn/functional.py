@@ -14,7 +14,6 @@ batch participate in a statically-shaped scan without polluting statistics.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -9,7 +9,6 @@ GMM fit by EM, all jit-compiled with static iteration counts.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

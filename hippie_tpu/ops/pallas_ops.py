@@ -14,7 +14,6 @@ code path is testable on CPU.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

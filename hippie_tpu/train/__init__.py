@@ -1,1 +1,1 @@
-from hippie_tpu.train import checkpoint, optim, step, loop, pipeline  # noqa: F401
+from hippie_tpu.train import checkpoint, optim, step, loop, pipeline, orbax_io, schedule_free  # noqa: F401

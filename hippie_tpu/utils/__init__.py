@@ -1,1 +1,1 @@
-from hippie_tpu.utils import wandb_shim  # noqa: F401
+from hippie_tpu.utils import wandb_shim, logging, profiling, cache  # noqa: F401
