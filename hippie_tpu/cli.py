@@ -14,10 +14,11 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(
-            "usage: hippie-tpu {train,train-multimodal,infer,bench} [args...]\n"
+            "usage: hippie-tpu {train,train-multimodal,infer,serve,bench} [args...]\n"
             "  train            3-stage unimodal pipeline (scripts/train_model.py flags)\n"
             "  train-multimodal unimodal-or-joint pipeline (--model-type multimodal)\n"
             "  infer            dual-checkpoint embedding export (+ --cluster k)\n"
+            "  serve            HTTP embedding microservice (POST /embed)\n"
             "  bench            print the headline throughput benchmark JSON line"
         )
         return 0
@@ -37,6 +38,10 @@ def main(argv=None):
         m.main()
     elif cmd == "infer":
         import inference_from_trained_model as m
+
+        m.main(rest)
+    elif cmd == "serve":
+        import serve_embeddings as m
 
         m.main(rest)
     elif cmd == "bench":
