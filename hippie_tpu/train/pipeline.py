@@ -383,7 +383,6 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     trackers: Dict[str, BestTracker] = {}
     states: Dict[str, step.TrainState] = {}
     templates: Dict[str, Tuple] = {}
-    txs: Dict[str, Any] = {}
 
     for mi, modality in enumerate(("wave", "time")):
         out_size = 50 if modality == "wave" else 100
@@ -398,7 +397,6 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
             templates[modality] = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
             tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip)
-            txs[modality] = tx
             ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
         if cfg.verbose:
@@ -414,7 +412,11 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         with timer.stage("ckpt_save"):
             tracker.update_from_fit(result, templates[modality], (cfg.learning_rate, cfg.weight_decay))
         # Reference reloads the best ckpt after stage 1 (train_model.py:160-163).
-        states[modality] = step.TrainState(tracker.best_params, tracker.best_bn, None)
+        # (Fallback to the last state for the max_epochs=0 edge, where no
+        # validation ever ran and the tracker is empty.)
+        best_p = tracker.best_params if tracker.best_params is not None else result.state.params
+        best_bn = tracker.best_bn if tracker.best_bn is not None else result.state.bn_state
+        states[modality] = step.TrainState(best_p, best_bn, None)
         trackers[modality] = tracker
 
     # ---------------- Stage 2: unsupervised fine-tune on the target --------

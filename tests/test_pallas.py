@@ -55,3 +55,30 @@ def test_fused_loss_gradients_match_xla():
     g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(dec, mu, logvar)
     for a, b in zip(g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_loss_backend_in_train_step():
+    """The loss_backend='pallas' step factory trains end to end (interpret mode)."""
+    import optax
+
+    from hippie_tpu.data.device_data import batch_plan
+    from hippie_tpu.models import cvae
+    from hippie_tpu.train import optim, step
+
+    cfg = cvae.CVAEConfig(z_dim=4, output_size=50, num_blocks=(1, 1, 1, 1))
+    p, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(1e-3, 0.01)
+    ts = step.TrainState(p, bn, tx.init(p))
+    te, ee = step.make_unimodal_epoch_fns(tx, beta=1.0, use_class_labels=False, loss_backend="pallas")
+    data = jnp.asarray(np.random.default_rng(0).normal(size=(32, 50)).astype(np.float32))
+    src = jnp.zeros((32,), jnp.int32)
+    idx, mask = batch_plan(np.arange(32), 16, shuffle=False)
+    ts, ms = te(ts, data, src, src, jnp.asarray(idx), jnp.asarray(mask), jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(ms.loss)))
+
+    # and it matches the XLA-loss step on the same inputs
+    p2, bn2 = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+    ts2 = step.TrainState(p2, bn2, tx.init(p2))
+    te2, _ = step.make_unimodal_epoch_fns(tx, beta=1.0, use_class_labels=False, loss_backend="xla")
+    ts2, ms2 = te2(ts2, data, src, src, jnp.asarray(idx), jnp.asarray(mask), jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(ms.loss), np.asarray(ms2.loss), rtol=1e-5, atol=1e-6)
