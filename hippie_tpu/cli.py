@@ -19,6 +19,7 @@ def main(argv=None):
             "  train-multimodal unimodal-or-joint pipeline (--model-type multimodal)\n"
             "  infer            dual-checkpoint embedding export (+ --cluster k)\n"
             "  serve            HTTP embedding microservice (POST /embed)\n"
+            "  synth            generate a synthetic dataset in the CSV contract\n"
             "  bench            print the headline throughput benchmark JSON line"
         )
         return 0
@@ -44,6 +45,26 @@ def main(argv=None):
         import serve_embeddings as m
 
         m.main(rest)
+    elif cmd == "synth":
+        import argparse
+
+        from hippie_tpu.data import synth
+
+        p = argparse.ArgumentParser(prog="hippie-tpu synth")
+        p.add_argument("--data-root", default="datasets")
+        p.add_argument("--name", required=True)
+        p.add_argument("--n", type=int, default=256)
+        p.add_argument("--wave-width", type=int, default=46)
+        p.add_argument("--isi-width", type=int, default=100)
+        p.add_argument("--num-classes", type=int, default=3)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--with-metadata", action="store_true")
+        a = p.parse_args(rest)
+        path = synth.make_dataset(
+            a.data_root, a.name, n=a.n, wave_width=a.wave_width, isi_width=a.isi_width,
+            num_classes=a.num_classes, seed=a.seed, with_metadata=a.with_metadata,
+        )
+        print(f"wrote synthetic dataset to {path}")
     elif cmd == "bench":
         import runpy
 

@@ -120,6 +120,67 @@ def _fused_bwd(res, g):
 fused_vae_sums.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _sse_kernel(data_ref, dec_ref, mask_ref, out_ref):
+    m = mask_ref[:]
+    diff = dec_ref[:] - data_ref[:]
+    out_ref[0, 0] = jnp.sum(diff * diff * m)
+
+
+@jax.custom_vjp
+def fused_masked_sse(data, dec, mask_col):
+    """sum(mask * (dec-data)^2) in one VMEM pass (for the 2nd modality)."""
+    if _HAVE_PLTPU:
+        out_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    else:  # pragma: no cover
+        out_spec = pl.BlockSpec()
+    out = pl.pallas_call(
+        _sse_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=_vmem_specs(3),
+        out_specs=out_spec,
+        interpret=_interpret(),
+    )(data, dec, mask_col)
+    return out[0, 0]
+
+
+def _sse_fwd(data, dec, mask_col):
+    return fused_masked_sse(data, dec, mask_col), (data, dec, mask_col)
+
+
+def _sse_bwd(res, g):
+    data, dec, mask_col = res
+    diff = (dec - data) * mask_col
+    return -2.0 * g * diff, 2.0 * g * diff, None
+
+
+fused_masked_sse.defvjp(_sse_fwd, _sse_bwd)
+
+
+def multimodal_vae_loss_pallas(
+    data1, data2, dec1, dec2, mu, logvar,
+    *,
+    beta: float = 1.0,
+    mod1_weight: float = 1.0,
+    mod2_weight: float = 1.0,
+    mask: Optional[jax.Array] = None,
+):
+    """Drop-in for losses.multimodal_vae_loss on the fused kernels."""
+    B = data1.shape[0]
+    if mask is None:
+        mask_col = jnp.ones((B, 1), data1.dtype)
+        n = jnp.asarray(float(B), data1.dtype)
+    else:
+        mask_col = mask.astype(data1.dtype).reshape(B, 1)
+        n = jnp.sum(mask_col)
+    mse1_sum, kl_sum = fused_vae_sums(data1, dec1, mu, logvar, mask_col)
+    mse2_sum = fused_masked_sse(data2, dec2, mask_col)
+    mse1 = mse1_sum / (n * data1.shape[1])
+    mse2 = mse2_sum / (n * data2.shape[1])
+    kl = kl_sum / n
+    total = mod1_weight * mse1 + mod2_weight * mse2 + beta * kl
+    return total, (mse1, mse2, kl)
+
+
 def vae_loss_pallas(
     data: jax.Array,
     dec: jax.Array,

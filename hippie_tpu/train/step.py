@@ -119,6 +119,14 @@ def make_unimodal_epoch_fns(
     return train_epoch, eval_epoch
 
 
+def _select_multimodal_loss(loss_backend: str):
+    if loss_backend == "pallas":
+        from hippie_tpu.ops.pallas_ops import multimodal_vae_loss_pallas
+
+        return multimodal_vae_loss_pallas
+    return losses.multimodal_vae_loss
+
+
 def make_multimodal_epoch_fns(
     tx: optax.GradientTransformation,
     *,
@@ -126,12 +134,14 @@ def make_multimodal_epoch_fns(
     mod1_weight: float = 1.0,
     mod2_weight: float = 1.0,
     use_class_labels: bool = False,
+    loss_backend: str = "xla",
 ):
     """Build (train_epoch, eval_epoch) for the joint MultiModalCVAE.
 
     Same shape contract as the unimodal fns but with (wave, isi) arrays.
     Loss follows model.py:454-482.
     """
+    multimodal_vae_loss = _select_multimodal_loss(loss_backend)
 
     def batch_step(ts: TrainState, wave, isi, source, class_, bidx, bmask, brng):
         b1, b2 = wave[bidx], isi[bidx]
@@ -142,7 +152,7 @@ def make_multimodal_epoch_fns(
             (enc, mu, logvar, d1, d2), new_bn = cvae.multimodal_cvae_apply(
                 params, ts.bn_state, b1, b2, bs, bc, rng=brng, training=True, mask=bmask
             )
-            total, (mse1, mse2, kl) = losses.multimodal_vae_loss(
+            total, (mse1, mse2, kl) = multimodal_vae_loss(
                 b1, b2, d1, d2, mu, logvar,
                 beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight, mask=bmask,
             )
@@ -175,7 +185,7 @@ def make_multimodal_epoch_fns(
             (enc, mu, logvar, d1, d2), _ = cvae.multimodal_cvae_apply(
                 params, bn_state, b1, b2, source[bidx], bc, rng=brng, training=False, mask=bmask
             )
-            total, (mse1, mse2, kl) = losses.multimodal_vae_loss(
+            total, (mse1, mse2, kl) = multimodal_vae_loss(
                 b1, b2, d1, d2, mu, logvar,
                 beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight, mask=bmask,
             )

@@ -25,10 +25,13 @@ def build_parser():
                         help="Dimensionality of the latent space")
     parser.add_argument("--dataset", type=str, default="cellexplorer-celltype",
                         help="Dataset to perform inference on")
-    parser.add_argument("--wave-checkpoint", type=str, required=True,
+    parser.add_argument("--wave-checkpoint", type=str, default=None,
                         help="Path to the waveform model checkpoint")
-    parser.add_argument("--time-checkpoint", type=str, required=True,
+    parser.add_argument("--time-checkpoint", type=str, default=None,
                         help="Path to the time model checkpoint")
+    parser.add_argument("--joint-checkpoint", type=str, default=None,
+                        help="Path to a joint MultiModalCVAE checkpoint (instead of the dual "
+                             "wave/time checkpoints); exports joint embeddings only")
     parser.add_argument("--output-dir", type=str, default="./embeddings",
                         help="Directory to save embeddings and visualizations")
     parser.add_argument("--data-root", type=str, default="datasets")
@@ -43,6 +46,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.joint_checkpoint is None and (args.wave_checkpoint is None or args.time_checkpoint is None):
+        build_parser().error("provide --wave-checkpoint and --time-checkpoint, or --joint-checkpoint")
 
     from hippie_tpu.utils.cache import enable_persistent_cache
 
@@ -83,22 +88,39 @@ def main(argv=None):
                                num_sources=args.num_sources, num_classes=num_classes)
 
     print("Loading models from checkpoints...")
+    joint_mode = args.joint_checkpoint is not None
     try:
         trees = {}
-        for name, cfg_m, path in (("wave", cfg_wave, args.wave_checkpoint),
-                                  ("time", cfg_time, args.time_checkpoint)):
-            template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
-            payload = ckpt_mod.load_lightning_ckpt(path)
+        if joint_mode:
+            mm_cfg = cvae.MultiModalConfig(z_dim=args.z_dim, class_hidden_dim=5,
+                                           num_sources=args.num_sources, num_classes=num_classes)
+            template = cvae.multimodal_cvae_init(jax.random.PRNGKey(0), mm_cfg)
+            payload = ckpt_mod.load_lightning_ckpt(args.joint_checkpoint)
             sd = payload["state_dict"]
             drop = ()
             ce = sd.get("model.class_embedding.weight")
             if ce is not None and ce.shape[0] != num_classes:
-                print(f"Warning: Class embedding size mismatch in {name} model. Removing from checkpoint.")
+                print("Warning: Class embedding size mismatch in joint model. Removing from checkpoint.")
                 drop = ("class_embedding.weight",)
-            params, bn, loaded, skipped = ckpt_mod.from_torch_state_dict(
+            params, bn, _, _ = ckpt_mod.from_torch_state_dict(
                 sd, template[0], template[1], drop_keys=drop
             )
-            trees[name] = (params, bn)
+            trees["joint"] = (params, bn)
+        else:
+            for name, cfg_m, path in (("wave", cfg_wave, args.wave_checkpoint),
+                                      ("time", cfg_time, args.time_checkpoint)):
+                template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
+                payload = ckpt_mod.load_lightning_ckpt(path)
+                sd = payload["state_dict"]
+                drop = ()
+                ce = sd.get("model.class_embedding.weight")
+                if ce is not None and ce.shape[0] != num_classes:
+                    print(f"Warning: Class embedding size mismatch in {name} model. Removing from checkpoint.")
+                    drop = ("class_embedding.weight",)
+                params, bn, loaded, skipped = ckpt_mod.from_torch_state_dict(
+                    sd, template[0], template[1], drop_keys=drop
+                )
+                trees[name] = (params, bn)
         print("Models loaded successfully")
     except Exception as e:
         print(f"Error loading models: {e}")
@@ -109,13 +131,20 @@ def main(argv=None):
     source = jnp.asarray(np.asarray(labels, dtype=np.int64) % args.num_sources, jnp.int32)
 
     print("Extracting embeddings...")
-    wave_emb, isi_emb, joint_emb = emb.get_embeddings(
-        trees["wave"], trees["time"], wave, isi_p, source
-    )
+    if joint_mode:
+        joint_emb = np.asarray(
+            emb.embed_multimodal(trees["joint"][0], trees["joint"][1], wave, isi_p, source)
+        )
+        wave_emb = isi_emb = None
+    else:
+        wave_emb, isi_emb, joint_emb = emb.get_embeddings(
+            trees["wave"], trees["time"], wave, isi_p, source
+        )
 
     print("Saving embeddings...")
-    name_lookup = {v: i for i, v in enumerate(np.asarray(label_names))}
-    for kind, arr in zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb]):
+    kinds = [("waveform", wave_emb), ("isi", isi_emb), ("joint", joint_emb)]
+    kinds = [(k, a) for k, a in kinds if a is not None]
+    for kind, arr in kinds:
         df = pd.DataFrame(arr)
         df["label"] = labels
         try:
@@ -188,7 +217,7 @@ def main(argv=None):
         plt.close()
 
     print("Generating 2-D visualizations...")
-    for kind, arr in zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb]):
+    for kind, arr in kinds:
         out_path = os.path.join(args.output_dir, f"{args.dataset}_{kind}_umap.png")
         create_plot(arr, labels, f"{args.dataset} {kind} embeddings", out_path)
         print(f"Saved {kind} visualization to {out_path}")
@@ -196,10 +225,8 @@ def main(argv=None):
     # 3-panel modality comparison (reference: inference…py:195-220).
     if labels is not None and len(np.unique(labels)) > 1:
         print("Generating comparison plots...")
-        fig, axs = plt.subplots(1, 3, figsize=(18, 6))
-        for idx, (kind, arr) in enumerate(
-            zip(["waveform", "isi", "joint"], [wave_emb, isi_emb, joint_emb])
-        ):
+        fig, axs = plt.subplots(1, max(len(kinds), 2), figsize=(6 * len(kinds), 6))
+        for idx, (kind, arr) in enumerate(kinds):
             u, method = project_2d(arr)
             sc = axs[idx].scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
             axs[idx].set_title(f"{kind} embeddings")

@@ -82,3 +82,30 @@ def test_pallas_loss_backend_in_train_step():
     te2, _ = step.make_unimodal_epoch_fns(tx, beta=1.0, use_class_labels=False, loss_backend="xla")
     ts2, ms2 = te2(ts2, data, src, src, jnp.asarray(idx), jnp.asarray(mask), jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(ms.loss), np.asarray(ms2.loss), rtol=1e-5, atol=1e-6)
+
+
+def test_multimodal_fused_loss_matches_xla():
+    from hippie_tpu.ops.pallas_ops import multimodal_vae_loss_pallas
+
+    d1, dec1, mu, logvar = _inputs(b=16, l=50)
+    d2, dec2, _, _ = _inputs(b=16, l=100, seed=1)
+    mask = jnp.asarray(np.array([1.0] * 12 + [0.0] * 4, np.float32))
+    ref_t, (rm1, rm2, rkl) = losses.multimodal_vae_loss(
+        d1, d2, dec1, dec2, mu, logvar, beta=0.7, mod1_weight=0.5, mod2_weight=2.0, mask=mask
+    )
+    got_t, (m1, m2, kl) = multimodal_vae_loss_pallas(
+        d1, d2, dec1, dec2, mu, logvar, beta=0.7, mod1_weight=0.5, mod2_weight=2.0, mask=mask
+    )
+    np.testing.assert_allclose(float(got_t), float(ref_t), rtol=1e-6)
+    np.testing.assert_allclose(float(m2), float(rm2), rtol=1e-6)
+
+    def f_ref(dec1, dec2, mu, logvar):
+        return losses.multimodal_vae_loss(d1, d2, dec1, dec2, mu, logvar, beta=0.7, mask=mask)[0]
+
+    def f_pal(dec1, dec2, mu, logvar):
+        return multimodal_vae_loss_pallas(d1, d2, dec1, dec2, mu, logvar, beta=0.7, mask=mask)[0]
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(dec1, dec2, mu, logvar)
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2, 3))(dec1, dec2, mu, logvar)
+    for a, b in zip(g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
