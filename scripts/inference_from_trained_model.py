@@ -89,38 +89,40 @@ def main(argv=None):
 
     print("Loading models from checkpoints...")
     joint_mode = args.joint_checkpoint is not None
+
+    def load_tree(path, template, model_name):
+        """Load a ckpt into a template, with the reference's class-embedding
+        mismatch healing (inference…py:116-127) and a skipped-keys warning
+        (a non-empty skip beyond the intentional drop means the checkpoint's
+        architecture doesn't match the requested config — z_dim/num_blocks)."""
+        payload = ckpt_mod.load_lightning_ckpt(path)
+        sd = payload["state_dict"]
+        drop = ()
+        ce = sd.get("model.class_embedding.weight")
+        if ce is not None and ce.shape[0] != num_classes:
+            print(f"Warning: Class embedding size mismatch in {model_name} model. Removing from checkpoint.")
+            drop = ("class_embedding.weight",)
+        params, bn, loaded, skipped = ckpt_mod.from_torch_state_dict(
+            sd, template[0], template[1], drop_keys=drop
+        )
+        if skipped:
+            print(f"Warning: {len(skipped)} checkpoint keys did not match the "
+                  f"{model_name} model architecture and were skipped (e.g. {skipped[0]}); "
+                  f"check --z_dim and the model config.")
+        return params, bn
+
     try:
         trees = {}
         if joint_mode:
             mm_cfg = cvae.MultiModalConfig(z_dim=args.z_dim, class_hidden_dim=5,
                                            num_sources=args.num_sources, num_classes=num_classes)
             template = cvae.multimodal_cvae_init(jax.random.PRNGKey(0), mm_cfg)
-            payload = ckpt_mod.load_lightning_ckpt(args.joint_checkpoint)
-            sd = payload["state_dict"]
-            drop = ()
-            ce = sd.get("model.class_embedding.weight")
-            if ce is not None and ce.shape[0] != num_classes:
-                print("Warning: Class embedding size mismatch in joint model. Removing from checkpoint.")
-                drop = ("class_embedding.weight",)
-            params, bn, _, _ = ckpt_mod.from_torch_state_dict(
-                sd, template[0], template[1], drop_keys=drop
-            )
-            trees["joint"] = (params, bn)
+            trees["joint"] = load_tree(args.joint_checkpoint, template, "joint")
         else:
             for name, cfg_m, path in (("wave", cfg_wave, args.wave_checkpoint),
                                       ("time", cfg_time, args.time_checkpoint)):
                 template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
-                payload = ckpt_mod.load_lightning_ckpt(path)
-                sd = payload["state_dict"]
-                drop = ()
-                ce = sd.get("model.class_embedding.weight")
-                if ce is not None and ce.shape[0] != num_classes:
-                    print(f"Warning: Class embedding size mismatch in {name} model. Removing from checkpoint.")
-                    drop = ("class_embedding.weight",)
-                params, bn, loaded, skipped = ckpt_mod.from_torch_state_dict(
-                    sd, template[0], template[1], drop_keys=drop
-                )
-                trees[name] = (params, bn)
+                trees[name] = load_tree(path, template, name)
         print("Models loaded successfully")
     except Exception as e:
         print(f"Error loading models: {e}")
@@ -222,10 +224,12 @@ def main(argv=None):
         create_plot(arr, labels, f"{args.dataset} {kind} embeddings", out_path)
         print(f"Saved {kind} visualization to {out_path}")
 
-    # 3-panel modality comparison (reference: inference…py:195-220).
-    if labels is not None and len(np.unique(labels)) > 1:
+    # 3-panel modality comparison (reference: inference…py:195-220); pointless
+    # with a single modality (joint-checkpoint mode).
+    if labels is not None and len(np.unique(labels)) > 1 and len(kinds) > 1:
         print("Generating comparison plots...")
-        fig, axs = plt.subplots(1, max(len(kinds), 2), figsize=(6 * len(kinds), 6))
+        fig, axs = plt.subplots(1, len(kinds), figsize=(6 * len(kinds), 6), squeeze=False)
+        axs = axs[0]
         for idx, (kind, arr) in enumerate(kinds):
             u, method = project_2d(arr)
             sc = axs[idx].scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
