@@ -80,4 +80,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # transient remote-TPU FAILED_PRECONDITIONs happen
+        import sys
+        import time as _time
+
+        print(f"bench attempt failed ({type(e).__name__}); retrying once", file=sys.stderr)
+        _time.sleep(10)
+        main()
