@@ -93,3 +93,28 @@ def test_train_val_split():
     tr, va = device_data.train_val_split(100, 0.8, jax.random.PRNGKey(0))
     assert len(tr) == 80 and len(va) == 20
     assert sorted(np.concatenate([tr, va]).tolist()) == list(range(100))
+
+
+def test_chip_finetune_split():
+    import pandas as pd
+
+    from hippie_tpu.data import registry
+
+    meta = pd.DataFrame({
+        "datetime": [f"2024-01-01 00:00:{s:02d}" for s in range(15)],
+    })
+    tr, te = registry.chip_finetune_split(meta)
+    # earliest 10 unique timestamps -> train (train_model.py:182-188)
+    assert sorted(tr.tolist()) == list(range(10))
+    assert sorted(te.tolist()) == list(range(10, 15))
+
+
+def test_synth_dataset_contract(tmp_path):
+    from hippie_tpu.data import registry, synth
+
+    synth.make_dataset(str(tmp_path), "demo", n=20, wave_width=33, isi_width=40, seed=0)
+    wf, isi = registry.load_raw(str(tmp_path), "demo")
+    assert wf.shape == (20, 34)  # +1 index column, quirk Q4
+    assert isi.shape == (20, 41)
+    labels, le = registry.load_supervised_labels(str(tmp_path), "demo")
+    assert labels.shape == (20,)

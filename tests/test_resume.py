@@ -52,3 +52,19 @@ def test_resume_matches_uninterrupted(tmp_path):
         jax.tree_util.tree_leaves(part2.state.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_orbax_keeps_latest_two(tmp_path):
+    import os
+
+    import jax.numpy as jnp
+
+    from hippie_tpu.train import orbax_io, step
+
+    ts = step.TrainState({"w": jnp.zeros((2, 2))}, {"m": jnp.zeros(2)}, {"o": jnp.zeros(1)})
+    d = str(tmp_path / "r")
+    for e in range(4):
+        orbax_io.save_fit_state(d, e, ts, {"best_val": 1.0, "best_epoch": e, "wait": 0})
+    entries = sorted(x for x in os.listdir(d) if x.startswith("epoch_"))
+    assert entries == ["epoch_000002", "epoch_000003"]
+    assert orbax_io.latest_fit_state(d).endswith("epoch_000003")
