@@ -52,18 +52,29 @@ def pretrain_pool(target_dataset: str, *, strict_leakage_guard: bool = False):
     return [name for name in pool if name != target_dataset]
 
 
-def load_raw(data_root: str, name: str, *, dropna: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+def load_raw(
+    data_root: str,
+    name: str,
+    *,
+    dropna: bool = False,
+    drop_index_column: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
     """Load (waveforms, isi) raw arrays exactly as the reference does.
 
-    Keeps the CSV index column as feature 0 (quirk Q4). Uses the native C
-    parser (hippie_tpu/data/fastcsv.py) with transparent pandas fallback;
-    ``dropna`` reproduces the fine-tune path's ``dropna(axis=1)``
-    (train_model.py:166-169, quirk Q13) by dropping any-NaN columns.
+    Keeps the CSV index column as feature 0 (quirk Q4) unless
+    ``drop_index_column`` opts out (the reference always ingests it; dropping
+    it improves actual signal quality but breaks numerical compatibility).
+    Uses the native C parser (hippie_tpu/data/fastcsv.py) with transparent
+    pandas fallback; ``dropna`` reproduces the fine-tune path's
+    ``dropna(axis=1)`` (train_model.py:166-169, quirk Q13) by dropping
+    any-NaN columns.
     """
     from hippie_tpu.data import fastcsv
 
     wf = fastcsv.read_numeric_csv(os.path.join(data_root, name, "waveforms.csv"))
     isi = fastcsv.read_numeric_csv(os.path.join(data_root, name, "isi_dist.csv"))
+    if drop_index_column:
+        wf, isi = wf[:, 1:], isi[:, 1:]
     if dropna:
         wf = wf[:, ~np.isnan(wf).any(axis=0)]
         isi = isi[:, ~np.isnan(isi).any(axis=0)]

@@ -88,6 +88,9 @@ class PipelineConfig:
     log_fn: Any = None  # optional callable(dict)
     profile_dir: Optional[str] = None  # jax.profiler trace output (optional)
     resume: bool = False  # orbax mid-run resume per stage (see train/orbax_io.py)
+    # Opt-in fixes to reference defects (SURVEY.md §7.4 replicate-or-fix):
+    drop_index_column: bool = False  # drop the CSV index feature (quirk Q4)
+    honest_eval: bool = False  # stage-3 embeddings WITHOUT class conditioning
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -118,7 +121,9 @@ def _init_multimodal(key, cfg_m):
 
 def load_dataset(cfg: PipelineConfig, name: str, *, dropna: bool = False) -> ArrayDataset:
     """Load + preprocess one dataset to device-resident arrays."""
-    wf, isi = registry.load_raw(cfg.data_root, name, dropna=dropna)
+    wf, isi = registry.load_raw(
+        cfg.data_root, name, dropna=dropna, drop_index_column=cfg.drop_index_column
+    )
     wave, isi_p = preprocess.preprocess_pair(jnp.asarray(wf), jnp.asarray(isi))
     src = jnp.full((wf.shape[0],), registry.DATASET_SOURCE_IDS.get(name, 0), jnp.int32)
     return ArrayDataset(wave=wave, isi=isi_p, source=src)
@@ -470,7 +475,9 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     # ---------------- Stage 3: supervised with class conditioning ----------
     with timer.stage("load_target"):
-        sup_wf, sup_isi = registry.load_raw(cfg.data_root, cfg.dataset)  # no dropna (Q13)
+        sup_wf, sup_isi = registry.load_raw(
+            cfg.data_root, cfg.dataset, drop_index_column=cfg.drop_index_column
+        )  # no dropna (Q13)
         sup_wave, sup_isi_p = preprocess.preprocess_pair(jnp.asarray(sup_wf), jnp.asarray(sup_isi))
         sup_labels, le = registry.load_supervised_labels(cfg.data_root, cfg.dataset)
 
@@ -532,14 +539,19 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     tr_idx_dev = jnp.asarray(s_tr)
     va_idx_dev = jnp.asarray(s_va)
+    # The reference extracts stage-3 embeddings WITH class conditioning
+    # (2-D labels reach the forward, train_model.py:407-413) — a label leak
+    # that trivializes the KNN evaluation. cfg.honest_eval opts out.
+    emb_cls_tr = None if cfg.honest_eval else labels_dev[tr_idx_dev]
+    emb_cls_va = None if cfg.honest_eval else labels_dev[va_idx_dev]
     timer_embed2 = timer.stage("embeddings"); timer_embed2.__enter__()
     wave_tr, isi_tr, joint_tr = emb.get_embeddings(
         wave_tree, time_tree, sup_wave[tr_idx_dev], sup_isi_p[tr_idx_dev],
-        source_dev[tr_idx_dev], labels_dev[tr_idx_dev],
+        source_dev[tr_idx_dev], emb_cls_tr,
     )
     wave_va, isi_va, joint_va = emb.get_embeddings(
         wave_tree, time_tree, sup_wave[va_idx_dev], sup_isi_p[va_idx_dev],
-        source_dev[va_idx_dev], labels_dev[va_idx_dev],
+        source_dev[va_idx_dev], emb_cls_va,
     )
 
     timer_embed2.__exit__(None, None, None)
@@ -582,7 +594,8 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     # Full-dataset embeddings export (train_model.py:480-507).
     with timer.stage("embeddings"):
         wave_all, isi_all, joint_all = emb.get_embeddings(
-            wave_tree, time_tree, sup_wave, sup_isi_p, source_dev, labels_dev
+            wave_tree, time_tree, sup_wave, sup_isi_p, source_dev,
+            None if cfg.honest_eval else labels_dev,
         )
     for kind, arr in (("waveform", wave_all), ("isi", isi_all), ("joint", joint_all)):
         results["paths"][f"{kind}_embeddings"] = export_embeddings_csv(cfg, kind, arr, sup_labels, le)

@@ -60,6 +60,10 @@ def build_parser():
                         help="write a jax.profiler trace of the run here")
     parser.add_argument("--log-file", type=str, default=None,
                         help="append per-epoch metrics as JSON lines to this file")
+    parser.add_argument("--drop-index-column", action="store_true",
+                        help="drop the CSV index feature (fixes quirk Q4; breaks numerical compat)")
+    parser.add_argument("--honest-eval", action="store_true",
+                        help="extract stage-3 embeddings WITHOUT class conditioning (fixes the label leak)")
     return parser
 
 
@@ -114,6 +118,8 @@ def run(args, model_type: str = "unimodal"):
         strict_leakage_guard=args.strict_leakage_guard,
         resume=args.resume,
         profile_dir=args.profile_dir,
+        drop_index_column=args.drop_index_column,
+        honest_eval=args.honest_eval,
         log_fn=log_fn,
     )
 

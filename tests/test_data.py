@@ -118,3 +118,11 @@ def test_synth_dataset_contract(tmp_path):
     assert isi.shape == (20, 41)
     labels, le = registry.load_supervised_labels(str(tmp_path), "demo")
     assert labels.shape == (20,)
+
+
+def test_drop_index_column():
+    wf, isi = registry.load_raw("/root/reference/datasets", "cellexplorer-celltype",
+                                drop_index_column=True)
+    assert wf.shape == (392, 46)  # index column removed
+    assert isi.shape == (392, 99)
+    assert wf[0, 0] != 0.0 or wf[1, 0] != 1.0  # no longer the row index
