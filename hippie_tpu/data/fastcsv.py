@@ -15,6 +15,7 @@ than pandas on this container for the shipped files.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -25,11 +26,18 @@ import numpy as np
 
 _REPO = pathlib.Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO / "native" / "fastcsv.c"
-_SO = _REPO / "native" / "_fastcsv.so"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _so_path() -> pathlib.Path:
+    # Keyed on a content hash of the source (never committed, gitignored):
+    # a stale or foreign binary can't shadow the reviewed .c file the way an
+    # mtime check could.
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:12]
+    return _REPO / "native" / f"_fastcsv-{digest}.so"
 
 
 class _CsvResult(ctypes.Structure):
@@ -41,22 +49,23 @@ class _CsvResult(ctypes.Structure):
     ]
 
 
-def _build() -> bool:
-    if not _SRC.exists():
-        return False
-    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+def _build(so: pathlib.Path) -> bool:
+    if so.exists():
         return True
+    tmp = so.with_suffix(f".tmp{os.getpid()}")
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+                [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
                 capture_output=True,
                 timeout=120,
             )
             if r.returncode == 0:
+                os.replace(tmp, so)  # atomic: concurrent builders race safely
                 return True
         except (FileNotFoundError, subprocess.TimeoutExpired):
             continue
+    tmp.unlink(missing_ok=True)
     return False
 
 
@@ -69,9 +78,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if os.environ.get("HIPPIE_NO_FASTCSV") == "1":
             return None
         try:
-            if not _build():
+            if not _SRC.exists():
                 return None
-            lib = ctypes.CDLL(str(_SO))
+            so = _so_path()
+            if not _build(so):
+                return None
+            lib = ctypes.CDLL(str(so))
             lib.fastcsv_read.restype = ctypes.POINTER(_CsvResult)
             lib.fastcsv_read.argtypes = [ctypes.c_char_p, ctypes.c_int]
             lib.fastcsv_free.restype = None

@@ -18,12 +18,13 @@ def make_confmat(cm, label_names, best_neighbors):
     import seaborn as sns
 
     cm = np.asarray(cm)
-    normalized_cm = cm / cm.sum(axis=1)[:, np.newaxis]
+    normalized_cm = cm / cm.sum(axis=1, keepdims=True)
 
-    annotations = np.empty_like(normalized_cm).astype(str)
-    for i in range(cm.shape[0]):
-        for j in range(cm.shape[1]):
-            annotations[i, j] = f"{normalized_cm[i, j]:.2f}\n({cm[i, j]})"
+    # Cell text "<row-normalized>\n(<count>)", built flat then reshaped.
+    annotations = np.array(
+        [f"{frac:.2f}\n({count})" for frac, count in zip(normalized_cm.ravel(), cm.ravel())],
+        dtype=object,
+    ).reshape(cm.shape)
 
     fig, ax = plt.subplots()
     sns.heatmap(

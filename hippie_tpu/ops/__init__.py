@@ -1,1 +1,1 @@
-from hippie_tpu.ops import resample, preprocess, losses, knn, clustering  # noqa: F401
+from hippie_tpu.ops import resample, preprocess, losses, clustering  # noqa: F401

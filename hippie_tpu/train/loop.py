@@ -70,6 +70,7 @@ def fit(
     log_fn: Optional[Callable[[dict], None]] = None,
     verbose: bool = True,
     resume_dir: Optional[str] = None,
+    lr: Optional[float] = None,
 ) -> FitResult:
     """Generic fit driver.
 
@@ -115,8 +116,11 @@ def fit(
         vkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 2)
         state, tms = run_train_epoch(state, tkey, epoch)
         vms = run_val_epoch(state, vkey, epoch)
-        train_loss = float(np.mean(np.asarray(tms.loss)))
-        val_loss = float(np.mean(np.asarray(vms.loss)))
+        # ONE host transfer for all per-epoch metrics (each separate fetch
+        # pays a ~65 ms round trip on remote backends).
+        tms_h, vms_h = jax.device_get((tms, vms))
+        train_loss = float(np.mean(tms_h.loss))
+        val_loss = float(np.mean(vms_h.loss))
         if not math.isfinite(train_loss):
             # Failure detection (the reference has none, SURVEY.md §5): a
             # non-finite loss means diverged training — fail loudly with
@@ -134,7 +138,18 @@ def fit(
             print(f"Average training loss is {train_loss:.2f}")
             print(f"Average validation loss is {val_loss:.2f}")
         if log_fn is not None:
-            log_fn({"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss})
+            # Per-epoch loss/mse/kl (+ lr when the caller supplies it) — the
+            # reference logs all of these each epoch (model.py:111-113,135-149;
+            # LearningRateMonitor, train_model.py:354-355).
+            rec = {"epoch": epoch, "train_loss": train_loss, "val_loss": val_loss}
+            for name, ms in (("train", tms_h), ("val", vms_h)):
+                if getattr(ms, "mse", None) is not None:
+                    rec[f"{name}_mse"] = float(np.mean(ms.mse))
+                if getattr(ms, "kl", None) is not None:
+                    rec[f"{name}_kl"] = float(np.mean(ms.kl))
+            if lr is not None:
+                rec["lr"] = float(lr)
+            log_fn(rec)
 
         if val_loss < best_val:
             best_val = val_loss
@@ -152,6 +167,9 @@ def fit(
                 break
 
         if resume_dir is not None:
+            # Deliberate ordering: the epoch state is saved BEFORE the
+            # patience break so a restart resumes from the stopping epoch;
+            # epochs run and final states match the non-resume path.
             from hippie_tpu.train import orbax_io
 
             orbax_io.save_fit_state(

@@ -91,6 +91,9 @@ class PipelineConfig:
     # Opt-in fixes to reference defects (SURVEY.md §7.4 replicate-or-fix):
     drop_index_column: bool = False  # drop the CSV index feature (quirk Q4)
     honest_eval: bool = False  # stage-3 embeddings WITHOUT class conditioning
+    # Compute backend for the VAE loss inside every train/eval step:
+    # "xla" (default) or "pallas" (hand-fused kernel, ops/pallas_ops.py).
+    loss_backend: str = "xla"
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -216,10 +219,11 @@ def _fit_unimodal_stage(
     fixed_train_stream: Optional[np.ndarray] = None,
     stage_seed: int = 0,
     resume_dir: Optional[str] = None,
+    lr: Optional[float] = None,
 ) -> loop.FitResult:
     """One Trainer.fit equivalent for a unimodal model."""
     train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
-        tx, beta=beta, use_class_labels=use_class_labels
+        tx, beta=beta, use_class_labels=use_class_labels, loss_backend=cfg.loss_backend
     )
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
@@ -252,6 +256,7 @@ def _fit_unimodal_stage(
         verbose=cfg.verbose,
         log_fn=cfg.log_fn,
         resume_dir=resume_dir,
+        lr=lr,
     )
 
 
@@ -273,6 +278,7 @@ def _fit_multimodal_stage(
     fixed_train_stream: Optional[np.ndarray] = None,
     stage_seed: int = 0,
     resume_dir: Optional[str] = None,
+    lr: Optional[float] = None,
 ) -> loop.FitResult:
     train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
         tx,
@@ -280,6 +286,7 @@ def _fit_multimodal_stage(
         mod1_weight=cfg.mod1_weight,
         mod2_weight=cfg.mod2_weight,
         use_class_labels=use_class_labels,
+        loss_backend=cfg.loss_backend,
     )
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
@@ -312,6 +319,7 @@ def _fit_multimodal_stage(
         verbose=cfg.verbose,
         log_fn=cfg.log_fn,
         resume_dir=resume_dir,
+        lr=lr,
     )
 
 
@@ -413,6 +421,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 max_epochs=cfg.pretrain_max_epochs, beta=1.0,  # quirk Q6
                 use_class_labels=False, shuffle_train=True, stage_seed=10 + mi,
                 resume_dir=_stage_resume_dir(cfg, f"pretrain_{modality}"),
+                lr=cfg.learning_rate,
             )
         with timer.stage("ckpt_save"):
             tracker.update_from_fit(result, templates[modality], (cfg.learning_rate, cfg.weight_decay))
@@ -452,6 +461,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                     shuffle_train=False,  # reference uses shuffle=False here (train_model.py:198-199)
                     stage_seed=20 + mi,
                     resume_dir=_stage_resume_dir(cfg, f"finetune_{modality}"),
+                    lr=ft_lr,
                 )
             with timer.stage("ckpt_save"):
                 trackers[modality].update_from_fit(result, templates[modality], (ft_lr, cfg.weight_decay))
@@ -525,6 +535,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 beta=1.0, use_class_labels=True, shuffle_train=False,
                 fixed_train_stream=train_stream, stage_seed=30 + mi,
                 resume_dir=_stage_resume_dir(cfg, f"supervised_{modality}"),
+                lr=ft_lr,
             )
         with timer.stage("ckpt_save"):
             tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
@@ -647,9 +658,16 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             batch_size=cfg.batch_size, max_epochs=cfg.pretrain_max_epochs,
             use_class_labels=False, shuffle_train=True, stage_seed=10,
             resume_dir=_stage_resume_dir(cfg, "pretrain_joint"),
+            lr=cfg.learning_rate,
         )
     tracker.update_from_fit(result, template, (cfg.learning_rate, cfg.weight_decay))
-    state = step.TrainState(tracker.best_params, tracker.best_bn, None)
+    # Fallback to the last state for the max_epochs=0 edge (tracker empty),
+    # mirroring the unimodal stage-1 guard.
+    state = step.TrainState(
+        tracker.best_params if tracker.best_params is not None else result.state.params,
+        tracker.best_bn if tracker.best_bn is not None else result.state.bn_state,
+        None,
+    )
 
     target = load_dataset(cfg, cfg.dataset, dropna=True)
     target_source_id = registry.DATASET_SOURCE_IDS.get(cfg.dataset, 0)
@@ -673,6 +691,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 max_epochs=cfg.finetune_max_epochs, use_class_labels=False,
                 shuffle_train=False, stage_seed=20,
                 resume_dir=_stage_resume_dir(cfg, "finetune_joint"),
+                lr=ft_lr,
             )
         tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         # Multimodal stage 2 reloads the best ckpt and embeds the fine-tune
@@ -691,7 +710,9 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     pretrain_paths = export_pretraining_embeddings(cfg, {"joint": ft_joint})
 
     # Stage 3
-    sup_wf, sup_isi = registry.load_raw(cfg.data_root, cfg.dataset)
+    sup_wf, sup_isi = registry.load_raw(
+        cfg.data_root, cfg.dataset, drop_index_column=cfg.drop_index_column
+    )  # no dropna (Q13)
     sup_wave, sup_isi_p = preprocess.preprocess_pair(jnp.asarray(sup_wf), jnp.asarray(sup_isi))
     sup_labels, le = registry.load_supervised_labels(cfg.data_root, cfg.dataset)
     n = len(sup_wf)
@@ -729,21 +750,27 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             use_class_labels=True, shuffle_train=False,
             fixed_train_stream=train_stream, stage_seed=30,
             resume_dir=_stage_resume_dir(cfg, "supervised_joint"),
+            lr=ft_lr,
         )
     sup_tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
     best_p = sup_tracker.best_params if sup_tracker.best_params is not None else result.state.params
     best_bn = sup_tracker.best_bn if sup_tracker.best_bn is not None else result.state.bn_state
 
+    # Reference extracts stage-3 embeddings WITH class conditioning (the
+    # label leak, …multimodal.py:855-907); cfg.honest_eval opts out — same
+    # contract as the unimodal path.
+    emb_cls_tr = None if cfg.honest_eval else labels_dev[jnp.asarray(s_tr)]
+    emb_cls_va = None if cfg.honest_eval else labels_dev[jnp.asarray(s_va)]
     joint_tr = np.asarray(
         emb.embed_multimodal(
             best_p, best_bn, sup_wave[jnp.asarray(s_tr)], sup_isi_p[jnp.asarray(s_tr)],
-            source_dev[jnp.asarray(s_tr)], labels_dev[jnp.asarray(s_tr)],
+            source_dev[jnp.asarray(s_tr)], emb_cls_tr,
         )
     )
     joint_va = np.asarray(
         emb.embed_multimodal(
             best_p, best_bn, sup_wave[jnp.asarray(s_va)], sup_isi_p[jnp.asarray(s_va)],
-            source_dev[jnp.asarray(s_va)], labels_dev[jnp.asarray(s_va)],
+            source_dev[jnp.asarray(s_va)], emb_cls_va,
         )
     )
 
@@ -776,7 +803,10 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     results["paths"]["joint_knn"] = export_knn_csv(cfg, "joint", pred, label_val, le)
 
     joint_all = np.asarray(
-        emb.embed_multimodal(best_p, best_bn, sup_wave, sup_isi_p, source_dev, labels_dev)
+        emb.embed_multimodal(
+            best_p, best_bn, sup_wave, sup_isi_p, source_dev,
+            None if cfg.honest_eval else labels_dev,
+        )
     )
     results["paths"]["joint_embeddings"] = export_embeddings_csv(cfg, "joint", joint_all, sup_labels, le)
     results["timings"] = dict(timer.timings)

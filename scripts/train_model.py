@@ -64,6 +64,8 @@ def build_parser():
                         help="drop the CSV index feature (fixes quirk Q4; breaks numerical compat)")
     parser.add_argument("--honest-eval", action="store_true",
                         help="extract stage-3 embeddings WITHOUT class conditioning (fixes the label leak)")
+    parser.add_argument("--loss-backend", choices=("xla", "pallas"), default="xla",
+                        help="VAE-loss kernel inside every train/eval step")
     return parser
 
 
@@ -120,6 +122,7 @@ def run(args, model_type: str = "unimodal"):
         profile_dir=args.profile_dir,
         drop_index_column=args.drop_index_column,
         honest_eval=args.honest_eval,
+        loss_backend=getattr(args, "loss_backend", "xla"),
         log_fn=log_fn,
     )
 

@@ -79,6 +79,44 @@ def test_unimodal_pipeline_end_to_end(synth_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_multimodal_honest_eval_and_drop_index(synth_root, tmp_path, monkeypatch):
+    """The opt-in fix flags must act on the multimodal path too: stage 3 loads
+    with drop_index_column, and honest_eval removes the class conditioning
+    from the exported stage-3 embeddings (training is unaffected, so the two
+    runs differ only in the leak)."""
+    from hippie_tpu.data import registry
+
+    seen_flags = []
+    orig_load_raw = registry.load_raw
+
+    def recording_load_raw(root, name, **kw):
+        seen_flags.append(kw.get("drop_index_column", False))
+        return orig_load_raw(root, name, **kw)
+
+    monkeypatch.setattr(registry, "load_raw", recording_load_raw)
+
+    leaked_cfg = _base_cfg(
+        synth_root, tmp_path / "leaked", model_type="multimodal", drop_index_column=True
+    )
+    honest_cfg = _base_cfg(
+        synth_root, tmp_path / "honest", model_type="multimodal",
+        drop_index_column=True, honest_eval=True,
+    )
+    run_pipeline(leaked_cfg)
+    run_pipeline(honest_cfg)
+
+    # every dataset load in the run honored the flag (incl. the stage-3 reload)
+    assert seen_flags and all(seen_flags)
+
+    name = "cellexplorer-celltype_joint_embeddings.csv"
+    leaked = pd.read_csv(os.path.join(leaked_cfg.output_dir, name), index_col=0)
+    honest = pd.read_csv(os.path.join(honest_cfg.output_dir, name), index_col=0)
+    assert leaked.shape == honest.shape
+    emb_cols = [c for c in leaked.columns if c != "label"]
+    assert not np.allclose(leaked[emb_cols].to_numpy(), honest[emb_cols].to_numpy())
+
+
+@pytest.mark.slow
 def test_multimodal_pipeline_end_to_end(synth_root, tmp_path):
     cfg = _base_cfg(synth_root, tmp_path, model_type="multimodal")
     results = run_pipeline(cfg)

@@ -26,6 +26,37 @@ def test_jsonl_logger(tmp_path):
     assert seen == [{"epoch": 0, "loss": 1.5}, {"epoch": 1, "loss": 0.5}]
 
 
+def test_fit_logs_mse_kl_lr():
+    """Per-epoch log records carry loss/mse/kl (+ lr), matching the
+    reference's epoch observability (model.py:111-113,141-149 and the
+    LearningRateMonitor, train_model.py:354-355)."""
+    from hippie_tpu.train import loop, step
+
+    class _State:
+        params = {"w": jnp.zeros(1)}
+        bn_state = {}
+        opt_state = None
+
+    def run_train(state, key, epoch):
+        m = step.Metrics(jnp.full((2,), 3.0), jnp.full((2,), 2.0), jnp.full((2,), 1.0))
+        return state, m
+
+    def run_val(state, key, epoch):
+        return step.Metrics(jnp.full((2,), 4.0), jnp.full((2,), 2.5), jnp.full((2,), 1.5))
+
+    records = []
+    loop.fit(
+        _State(), run_train_epoch=run_train, run_val_epoch=run_val,
+        max_epochs=2, verbose=False, log_fn=records.append, lr=1e-3,
+    )
+    assert len(records) == 2
+    rec = records[0]
+    assert rec["train_loss"] == 3.0 and rec["val_loss"] == 4.0
+    assert rec["train_mse"] == 2.0 and rec["train_kl"] == 1.0
+    assert rec["val_mse"] == 2.5 and rec["val_kl"] == 1.5
+    assert rec["lr"] == 1e-3
+
+
 def test_wandb_shim_noop():
     w = wandb_shim.get()
     # every attribute/call chain is safe when wandb is absent/disabled
