@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from hippie_tpu.nn import init as tinit
 from hippie_tpu.nn.functional import (
@@ -210,45 +211,86 @@ def _block_indices(layer_p) -> list:
     return [str(i) for i in sorted(int(k) for k in layer_p)]
 
 
-def resnet18_enc_apply(p, s, x, *, training: bool = False, mask: Optional[jax.Array] = None):
+def resnet18_enc_apply(
+    p, s, x, *, training: bool = False, mask: Optional[jax.Array] = None,
+    backend: str = "xla",
+):
     """x: [B, L, nc] -> [B, 2*z_dim]. Reference: ResNet18Enc.forward (backbones.py:94-103).
 
     Stage structure (block count / strides) is inferred from the parameter
     tree, so shallower variants from ``num_blocks`` overrides work unchanged.
+    ``backend='pallas'`` (training mode only) runs every BasicBlock as one
+    fused Pallas megakernel (ops/pallas_blocks.py) with bf16 activations;
+    ``backend='fused'`` runs the identical fused math (hand-written backward,
+    bf16 storage) as plain XLA ops.
     """
+    fused = backend in ("pallas", "fused") and training
+    impl = "xla" if backend == "fused" else "pallas"
     new_s = {}
     out = conv1d(x, p["conv1"]["weight"], stride=2, padding=1)
     out, new_s["bn1"] = batch_norm(out, p["bn1"], s["bn1"], training=training, mask=mask)
     out = leaky_relu(out)
+    if fused:
+        from hippie_tpu.ops import pallas_blocks
+
+        # fused blocks run in [L, B, C] (length leading — see pallas_blocks
+        # module docstring); transpose once at the section boundary
+        out = jnp.transpose(out, (1, 0, 2)).astype(jnp.bfloat16)
     for li in (1, 2, 3, 4):
         lname = f"layer{li}"
         layer_s = {}
         for bi in _block_indices(p[lname]):
             bp = p[lname][bi]
-            out, layer_s[bi] = _basic_block_enc_apply(
-                bp, s[lname][bi], out, stride=_enc_block_stride(bp), training=training, mask=mask
-            )
+            if fused:
+                out, layer_s[bi] = pallas_blocks.basic_block_enc_fused(
+                    bp, s[lname][bi], out, stride=_enc_block_stride(bp), mask=mask,
+                    impl=impl,
+                )
+            else:
+                out, layer_s[bi] = _basic_block_enc_apply(
+                    bp, s[lname][bi], out, stride=_enc_block_stride(bp), training=training, mask=mask
+                )
         new_s[lname] = layer_s
-    out = adaptive_avg_pool_to_1(out)
+    if fused:
+        out = jnp.mean(out.astype(x.dtype), axis=0)  # adaptive pool, L leading
+    else:
+        out = adaptive_avg_pool_to_1(out)
     out = dense(out, p["linear"]["weight"], p["linear"]["bias"])
     return out, new_s
 
 
-def resnet18_dec_apply(p, s, x, *, training: bool = False, mask: Optional[jax.Array] = None):
+def resnet18_dec_apply(
+    p, s, x, *, training: bool = False, mask: Optional[jax.Array] = None,
+    backend: str = "xla",
+):
     """x: [B, 2*z_dim] -> [B, out_len]. Reference: ResNet18Dec.forward (backbones.py:128-141)."""
+    fused = backend in ("pallas", "fused") and training
+    impl = "xla" if backend == "fused" else "pallas"
     new_s = {}
     out = dense(x, p["linear"]["weight"], p["linear"]["bias"])  # [B, 512]
     out = out[:, None, :]  # [B, 1, 512] channels-last; torch: [B, 512, 1]
     out = upsample_nearest(out, 4)  # F.interpolate(scale_factor=4), nearest default
+    if fused:
+        from hippie_tpu.ops import pallas_blocks
+
+        out = jnp.transpose(out, (1, 0, 2)).astype(jnp.bfloat16)  # [L, B, C]
     for li in (4, 3, 2, 1):
         lname = f"layer{li}"
         layer_s = {}
         for bi in _block_indices(p[lname]):
             bp = p[lname][bi]
-            out, layer_s[bi] = _basic_block_dec_apply(
-                bp, s[lname][bi], out, stride=_dec_block_stride(bp), training=training, mask=mask
-            )
+            if fused:
+                out, layer_s[bi] = pallas_blocks.basic_block_dec_fused(
+                    bp, s[lname][bi], out, stride=_dec_block_stride(bp), mask=mask,
+                    impl=impl,
+                )
+            else:
+                out, layer_s[bi] = _basic_block_dec_apply(
+                    bp, s[lname][bi], out, stride=_dec_block_stride(bp), training=training, mask=mask
+                )
         new_s[lname] = layer_s
+    if fused:
+        out = jnp.transpose(out, (1, 0, 2)).astype(x.dtype)
     out = _resize_conv_apply(p["conv1"], out, scale=2)  # [B, 64, 1]
     out = out.reshape(out.shape[0], -1)  # [B, 64]
     out = dense(out, p["linear_out"]["weight"], p["linear_out"]["bias"])

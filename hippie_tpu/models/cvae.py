@@ -134,6 +134,7 @@ def unimodal_cvae_apply(
     eps: Optional[jax.Array] = None,
     training: bool = False,
     mask: Optional[jax.Array] = None,
+    backend: str = "xla",
 ):
     """Forward pass. data: [B, L]; returns ((encoded, mu, logvar, decoded), new_state).
 
@@ -150,7 +151,9 @@ def unimodal_cvae_apply(
 
     new_s = {}
     x = data[:, :, None]  # [B, L, 1] channels-last
-    h, new_s["encoder"] = resnet18_enc_apply(p["encoder"], s["encoder"], x, training=training, mask=mask)
+    h, new_s["encoder"] = resnet18_enc_apply(
+        p["encoder"], s["encoder"], x, training=training, mask=mask, backend=backend
+    )
     h = jnp.concatenate([h, source_emb, class_emb], axis=1)
     encoded, new_s["encoder_fc"] = _encoder_fc_apply(p["encoder_fc"], s["encoder_fc"], h, training=training, mask=mask)
     mu = dense(encoded, p["z_mean"]["weight"], p["z_mean"]["bias"])
@@ -161,7 +164,9 @@ def unimodal_cvae_apply(
         z = mu
     zc = jnp.concatenate([z, source_emb, class_emb], axis=1)
     d, new_s["decoder_fc"] = _decoder_fc_apply(p["decoder_fc"], s["decoder_fc"], zc, training=training, mask=mask)
-    decoded, new_s["decoder"] = resnet18_dec_apply(p["decoder"], s["decoder"], d, training=training, mask=mask)
+    decoded, new_s["decoder"] = resnet18_dec_apply(
+        p["decoder"], s["decoder"], d, training=training, mask=mask, backend=backend
+    )
     return (encoded, mu, logvar, decoded), new_s
 
 
@@ -224,6 +229,7 @@ def multimodal_cvae_apply(
     eps: Optional[jax.Array] = None,
     training: bool = False,
     mask: Optional[jax.Array] = None,
+    backend: str = "xla",
 ):
     """Forward (model.py:424-432): two encoders -> fusion -> one z -> two decoders."""
     source_emb = embedding(source_labels, p["source_embedding"]["weight"])
@@ -234,10 +240,12 @@ def multimodal_cvae_apply(
 
     new_s = {}
     h1, new_s["encoder_mod1"] = resnet18_enc_apply(
-        p["encoder_mod1"], s["encoder_mod1"], data1[:, :, None], training=training, mask=mask
+        p["encoder_mod1"], s["encoder_mod1"], data1[:, :, None], training=training, mask=mask,
+        backend=backend,
     )
     h2, new_s["encoder_mod2"] = resnet18_enc_apply(
-        p["encoder_mod2"], s["encoder_mod2"], data2[:, :, None], training=training, mask=mask
+        p["encoder_mod2"], s["encoder_mod2"], data2[:, :, None], training=training, mask=mask,
+        backend=backend,
     )
     h = jnp.concatenate([h1, h2, source_emb, class_emb], axis=1)
     encoded, new_s["fusion_encoder"] = _fusion_encoder_apply(
@@ -256,7 +264,8 @@ def multimodal_cvae_apply(
             p[f"decoder_fc_{mod}"], s[f"decoder_fc_{mod}"], zc, training=training, mask=mask
         )
         dec, new_s[f"decoder_{mod}"] = resnet18_dec_apply(
-            p[f"decoder_{mod}"], s[f"decoder_{mod}"], d, training=training, mask=mask
+            p[f"decoder_{mod}"], s[f"decoder_{mod}"], d, training=training, mask=mask,
+            backend=backend,
         )
         decs.append(dec)
     return (encoded, mu, logvar, decs[0], decs[1]), new_s

@@ -94,6 +94,10 @@ class PipelineConfig:
     # Compute backend for the VAE loss inside every train/eval step:
     # "xla" (default) or "pallas" (hand-fused kernel, ops/pallas_ops.py).
     loss_backend: str = "xla"
+    # Backbone block backend for TRAINING steps: "xla" or "pallas" (fused
+    # BasicBlock megakernels with hand-written backward, ops/pallas_blocks.py;
+    # bf16 activations — a fast path, not bit-identical to the torch goldens).
+    block_backend: str = "xla"
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -223,7 +227,8 @@ def _fit_unimodal_stage(
 ) -> loop.FitResult:
     """One Trainer.fit equivalent for a unimodal model."""
     train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
-        tx, beta=beta, use_class_labels=use_class_labels, loss_backend=cfg.loss_backend
+        tx, beta=beta, use_class_labels=use_class_labels,
+        loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
     )
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
@@ -287,6 +292,7 @@ def _fit_multimodal_stage(
         mod2_weight=cfg.mod2_weight,
         use_class_labels=use_class_labels,
         loss_backend=cfg.loss_backend,
+        block_backend=cfg.block_backend,
     )
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches

@@ -54,6 +54,7 @@ def make_unimodal_epoch_fns(
     use_class_labels: bool = False,
     modality: str = "wave",
     loss_backend: str = "xla",
+    block_backend: str = "xla",
 ):
     """Build (train_epoch, eval_epoch) for the unimodal cVAE.
 
@@ -65,7 +66,10 @@ def make_unimodal_epoch_fns(
     model.py:95-116: mse over elements + beta * mean KL; eval uses running BN
     stats but still samples the reparameterization like the reference's
     validation_step (model.py:118-139). ``loss_backend='pallas'`` swaps in the
-    hand-fused Pallas loss kernel (ops/pallas_ops.py).
+    hand-fused Pallas loss kernel (ops/pallas_ops.py); ``block_backend=
+    'pallas'`` runs every backbone BasicBlock as one fused megakernel with a
+    hand-written backward (ops/pallas_blocks.py) — training steps only, eval
+    stays on the XLA path.
     """
     del modality  # metadata only
     vae_loss = _select_vae_loss(loss_backend)
@@ -77,7 +81,8 @@ def make_unimodal_epoch_fns(
 
         def loss_fn(params):
             (enc, mu, logvar, dec), new_bn = cvae.unimodal_cvae_apply(
-                params, ts.bn_state, bd, bs, bc, rng=brng, training=True, mask=bmask
+                params, ts.bn_state, bd, bs, bc, rng=brng, training=True, mask=bmask,
+                backend=block_backend,
             )
             total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
             return total, (new_bn, mse, kl)
@@ -135,6 +140,7 @@ def make_multimodal_epoch_fns(
     mod2_weight: float = 1.0,
     use_class_labels: bool = False,
     loss_backend: str = "xla",
+    block_backend: str = "xla",
 ):
     """Build (train_epoch, eval_epoch) for the joint MultiModalCVAE.
 
@@ -150,7 +156,8 @@ def make_multimodal_epoch_fns(
 
         def loss_fn(params):
             (enc, mu, logvar, d1, d2), new_bn = cvae.multimodal_cvae_apply(
-                params, ts.bn_state, b1, b2, bs, bc, rng=brng, training=True, mask=bmask
+                params, ts.bn_state, b1, b2, bs, bc, rng=brng, training=True, mask=bmask,
+                backend=block_backend,
             )
             total, (mse1, mse2, kl) = multimodal_vae_loss(
                 b1, b2, d1, d2, mu, logvar,

@@ -66,6 +66,10 @@ def build_parser():
                         help="extract stage-3 embeddings WITHOUT class conditioning (fixes the label leak)")
     parser.add_argument("--loss-backend", choices=("xla", "pallas"), default="xla",
                         help="VAE-loss kernel inside every train/eval step")
+    parser.add_argument("--block-backend", choices=("xla", "fused", "pallas"), default="xla",
+                        help="backbone block kernels for training steps: 'fused' = "
+                             "hand-written fused fwd/bwd (bf16 activations) as XLA ops, "
+                             "'pallas' = the same as Mosaic megakernels, 'xla' = plain autodiff")
     return parser
 
 
@@ -123,6 +127,7 @@ def run(args, model_type: str = "unimodal"):
         drop_index_column=args.drop_index_column,
         honest_eval=args.honest_eval,
         loss_backend=getattr(args, "loss_backend", "xla"),
+        block_backend=getattr(args, "block_backend", "xla"),
         log_fn=log_fn,
     )
 
