@@ -55,16 +55,42 @@ def main():
     idx, mask = batch_plan(np.arange(n), batch_size, shuffle=True, key=key)
     idx, mask = jnp.asarray(idx), jnp.asarray(mask)
 
+    # MFU denominator from XLA's own cost model BEFORE running (lower+compile
+    # is cached): the scan body is counted ONCE, so this is FLOPs per batch.
+    flops_per_batch = 0.0
+    try:
+        compiled = train_epoch.lower(ts, data, source, source, idx, mask, key)
+        ca = compiled.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_batch = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+
     # Warmup / compile.
     ts, ms = train_epoch(ts, data, source, source, idx, mask, jax.random.fold_in(key, 0))
     jax.block_until_ready(ms.loss)
+    # `block_until_ready` under-waits on the remote axon backend; a scalar
+    # fetch forces real completion. One fetch costs a full host round trip,
+    # so calibrate it and subtract from the timed window.
+    _ = float(np.asarray(ms.loss)[0])
+    t0 = time.perf_counter()
+    _ = float(np.asarray(ms.loss)[0])
+    fetch_rtt = time.perf_counter() - t0
 
     epochs = 5
     t0 = time.perf_counter()
     for e in range(1, epochs + 1):
         ts, ms = train_epoch(ts, data, source, source, idx, mask, jax.random.fold_in(key, e))
-    jax.block_until_ready(ms.loss)
-    dt = time.perf_counter() - t0
+    _ = float(np.asarray(ms.loss)[0])
+    dt = max(time.perf_counter() - t0 - fetch_rtt, 1e-9)
+
+    nb = int(idx.shape[0])
+    ms_per_batch = dt / (epochs * nb) * 1e3
+    mfu = None
+    if flops_per_batch > 0:
+        tf_per_s = flops_per_batch / (ms_per_batch * 1e-3) / 1e12
+        mfu = round(tf_per_s / 197.0, 4)  # v5e bf16 peak ~197 TF/s
 
     wps = epochs * n / dt
     print(
@@ -74,6 +100,8 @@ def main():
                 "value": round(wps, 1),
                 "unit": "waveforms/s/chip",
                 "vs_baseline": round(wps / BASELINE_WAVEFORMS_PER_SEC, 2),
+                "ms_per_batch": round(ms_per_batch, 4),
+                "mfu_vs_bf16_peak": mfu,
             }
         )
     )

@@ -90,3 +90,37 @@ def batch_plan(
     mask = np.zeros(nb * batch_size, dtype=np.float32)
     mask[:n] = 1.0
     return padded.reshape(nb, batch_size), mask.reshape(nb, batch_size)
+
+
+def next_pow2(n: int, minimum: int = 64) -> int:
+    """Smallest power of two >= max(n, minimum) — the shape-bucketing unit."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_rows(arr, n_bucket: int):
+    """Pad axis 0 with zeros up to n_bucket (gather-source shape bucketing:
+    batch plans only ever index real rows, so pad content is never read)."""
+    n = arr.shape[0]
+    if n >= n_bucket:
+        return arr
+    pad = [(0, n_bucket - n)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad)
+
+
+def pad_plan(idx, mask, nb_bucket: int):
+    """Pad a [nb, B] batch plan to [nb_bucket, B] with zero-index, zero-mask
+    batches; returns (idx, mask, n_real_batches). The bucketed epoch runners
+    only execute the first n_real_batches."""
+    import numpy as _np
+
+    nb = idx.shape[0]
+    if nb >= nb_bucket:
+        return idx, mask, nb
+    idx_p = _np.zeros((nb_bucket,) + idx.shape[1:], idx.dtype)
+    idx_p[:nb] = idx
+    mask_p = _np.zeros((nb_bucket,) + mask.shape[1:], mask.dtype)
+    mask_p[:nb] = mask
+    return idx_p, mask_p, nb

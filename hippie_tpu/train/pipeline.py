@@ -98,6 +98,9 @@ class PipelineConfig:
     # BasicBlock megakernels with hand-written backward, ops/pallas_blocks.py;
     # bf16 activations — a fast path, not bit-identical to the torch goldens).
     block_backend: str = "xla"
+    # Optimizer moment storage dtype (None = fp32 torch-exact; "bfloat16"
+    # halves the bandwidth-bound optimizer state traffic, ~10% of the step).
+    opt_state_dtype: Optional[str] = None
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -176,14 +179,22 @@ def _fork_state(params, bn, tx) -> step.TrainState:
 
 class BestTracker:
     """ModelCheckpoint(save_top_k=1, mode='min') semantics, shareable across
-    stages like the reference's reused callback object."""
+    stages like the reference's reused callback object.
+
+    Writes are DEFERRED: update_from_fit only snapshots device refs (the fit
+    loop device-cloned them, so they survive donation); ``flush()`` performs
+    the expensive host fetch + torch-layout conversion + disk write once,
+    right before the checkpoint is read or at pipeline end. This removes
+    ~30-55 s of per-run host transfers vs eager per-stage writes. Crash
+    resume is orbax's job (--resume), not the Lightning ckpt's.
+    """
 
     def __init__(self, path: str):
         self.path = path
         self.best_val = math.inf
         self.best_params = None
         self.best_bn = None
-        self.best_opt_torch = None
+        self._pending = None  # (opt_state, template, lr, wd) awaiting flush
 
     def update_from_fit(self, result: loop.FitResult, params_template, opt_meta):
         if result.best_epoch >= 0 and result.best_val_loss < self.best_val:
@@ -191,18 +202,25 @@ class BestTracker:
             self.best_params = result.best_params
             self.best_bn = result.best_bn_state
             lr, wd = opt_meta
-            self.best_opt_torch = optim.adamw_state_to_torch(
-                result.best_opt_state, result.best_params, result.best_bn_state,
-                lr=lr, weight_decay=wd,
-            )
-            ordered_p = ckpt_mod.reorder_like(params_template[0], self.best_params)
-            ordered_s = ckpt_mod.reorder_like(params_template[1], self.best_bn)
-            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-            ckpt_mod.save_lightning_ckpt(
-                self.path, ordered_p, ordered_s, optimizer_state=self.best_opt_torch
-            )
+            self._pending = (result.best_opt_state, params_template, lr, wd)
             return True
         return False
+
+    def flush(self):
+        """Write the best checkpoint to disk if a new best is pending."""
+        if self._pending is None:
+            return
+        opt_state, params_template, lr, wd = self._pending
+        best_opt_torch = optim.adamw_state_to_torch(
+            opt_state, self.best_params, self.best_bn, lr=lr, weight_decay=wd
+        )
+        ordered_p = ckpt_mod.reorder_like(params_template[0], self.best_params)
+        ordered_s = ckpt_mod.reorder_like(params_template[1], self.best_bn)
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        ckpt_mod.save_lightning_ckpt(
+            self.path, ordered_p, ordered_s, optimizer_state=best_opt_torch
+        )
+        self._pending = None
 
 
 def _fit_unimodal_stage(
@@ -230,10 +248,24 @@ def _fit_unimodal_stage(
         tx, beta=beta, use_class_labels=use_class_labels,
         loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
     )
+    # Shape-bucket the gather sources and batch plans (power-of-two rows /
+    # plan lengths) and run the bucketed epoch mode: with the learning rate
+    # injected as optimizer state, stages and datasets that land in the same
+    # buckets share ONE compiled program via the persistent compile cache —
+    # the main lever on cold-compile wall-clock.
+    n_bucket = device_data.next_pow2(int(data.shape[0]))
+    data = device_data.pad_rows(data, n_bucket)
+    source = device_data.pad_rows(source, n_bucket)
+    class_ = device_data.pad_rows(class_, n_bucket)
+
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
     )
-    val_idx, val_mask = jnp.asarray(val_plan[0]), jnp.asarray(val_plan[1])
+    v_idx, v_mask, v_nb = device_data.pad_plan(
+        val_plan[0], val_plan[1], device_data.next_pow2(val_plan[0].shape[0], minimum=1)
+    )
+    val_idx, val_mask = jnp.asarray(v_idx), jnp.asarray(v_mask)
+    val_nb = jnp.asarray(v_nb, jnp.int32)
 
     def run_train(state, key, epoch):
         stream = fixed_train_stream if fixed_train_stream is not None else train_indices
@@ -241,14 +273,18 @@ def _fit_unimodal_stage(
             stream, batch_size, shuffle=shuffle_train, key=jax.random.fold_in(key, 0)
         )
         idx, mask = loop.limit_batches(plan, cfg.limit_train_batches)
+        idx, mask, nb = device_data.pad_plan(
+            idx, mask, device_data.next_pow2(idx.shape[0], minimum=1)
+        )
         return train_epoch(
             state, data, source, class_, jnp.asarray(idx), jnp.asarray(mask),
-            jax.random.fold_in(key, 1),
+            jax.random.fold_in(key, 1), jnp.asarray(nb, jnp.int32),
         )
 
     def run_val(state, key, epoch):
         return eval_epoch(
-            state.params, state.bn_state, data, source, class_, val_idx, val_mask, key
+            state.params, state.bn_state, data, source, class_, val_idx, val_mask,
+            key, val_nb,
         )
 
     return loop.fit(
@@ -294,10 +330,21 @@ def _fit_multimodal_stage(
         loss_backend=cfg.loss_backend,
         block_backend=cfg.block_backend,
     )
+    # shape bucketing: see _fit_unimodal_stage
+    n_bucket = device_data.next_pow2(int(wave.shape[0]))
+    wave = device_data.pad_rows(wave, n_bucket)
+    isi = device_data.pad_rows(isi, n_bucket)
+    source = device_data.pad_rows(source, n_bucket)
+    class_ = device_data.pad_rows(class_, n_bucket)
+
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
     )
-    val_idx, val_mask = jnp.asarray(val_plan[0]), jnp.asarray(val_plan[1])
+    v_idx, v_mask, v_nb = device_data.pad_plan(
+        val_plan[0], val_plan[1], device_data.next_pow2(val_plan[0].shape[0], minimum=1)
+    )
+    val_idx, val_mask = jnp.asarray(v_idx), jnp.asarray(v_mask)
+    val_nb = jnp.asarray(v_nb, jnp.int32)
 
     def run_train(state, key, epoch):
         stream = fixed_train_stream if fixed_train_stream is not None else train_indices
@@ -305,14 +352,18 @@ def _fit_multimodal_stage(
             stream, batch_size, shuffle=shuffle_train, key=jax.random.fold_in(key, 0)
         )
         idx, mask = loop.limit_batches(plan, cfg.limit_train_batches)
+        idx, mask, nb = device_data.pad_plan(
+            idx, mask, device_data.next_pow2(idx.shape[0], minimum=1)
+        )
         return train_epoch(
             state, wave, isi, source, class_, jnp.asarray(idx), jnp.asarray(mask),
-            jax.random.fold_in(key, 1),
+            jax.random.fold_in(key, 1), jnp.asarray(nb, jnp.int32),
         )
 
     def run_val(state, key, epoch):
         return eval_epoch(
-            state.params, state.bn_state, wave, isi, source, class_, val_idx, val_mask, key
+            state.params, state.bn_state, wave, isi, source, class_, val_idx, val_mask,
+            key, val_nb,
         )
 
     return loop.fit(
@@ -415,7 +466,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         with timer.stage("setup"):
             params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
             templates[modality] = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
-            tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip)
+            tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype)
             ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
         if cfg.verbose:
@@ -454,7 +505,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         for mi, modality in enumerate(("wave", "time")):
             data = target.wave if modality == "wave" else target.isi
             clip = None if modality == "wave" else cfg.gradient_clip_val
-            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, clip)
+            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype)
             st = states[modality]
             ts = _fork_state(st.params, st.bn_state, tx)
             if cfg.verbose:
@@ -519,12 +570,14 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         with timer.stage("setup"):
             template = _init_unimodal(jax.random.fold_in(root, 200 + mi), cfg_m)
             # Load the cross-stage best ckpt minus the class embedding (quirk Q10).
+            with timer.stage("ckpt_save"):
+                trackers[modality].flush()
             loaded = ckpt_mod.load_lightning_ckpt(trackers[modality].path)
             params, bn, _, _ = ckpt_mod.from_torch_state_dict(
                 loaded["state_dict"], template[0], template[1],
                 drop_keys=("class_embedding.weight",),
             )
-            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
+            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
             ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         stream = sampling.balanced_indices(label_train, seed=cfg.seed)
         train_stream = np.asarray(s_tr)[stream]
@@ -617,6 +670,9 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     for kind, arr in (("waveform", wave_all), ("isi", isi_all), ("joint", joint_all)):
         results["paths"][f"{kind}_embeddings"] = export_embeddings_csv(cfg, kind, arr, sup_labels, le)
 
+    with timer.stage("ckpt_save"):
+        for t in list(trackers.values()) + list(sup_trackers.values()):
+            t.flush()
     results["label_val"] = label_val
     results["label_train"] = label_train
     results["timings"] = dict(timer.timings)
@@ -651,7 +707,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     )
     template = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
     params, bn = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
-    tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val)
+    tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
     ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
     tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_joint_model.ckpt"))
 
@@ -685,7 +741,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     ft_lr = cfg.learning_rate / 10.0
     if cfg.finetune_without_labels:
         ft_tr, ft_va = _finetune_split_indices(cfg, len(target), jax.random.fold_in(root, 1))
-        tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
+        tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
         ts = _fork_state(state.params, state.bn_state, tx)
         if cfg.verbose:
             print(f"[stage 2] fine-tuning joint model on {cfg.dataset} (lr={ft_lr})")
@@ -733,11 +789,12 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         num_blocks=tuple(cfg.num_blocks),
     )
     template = _init_multimodal(jax.random.fold_in(root, 200), mm_cfg_sup)
+    tracker.flush()
     loaded = ckpt_mod.load_lightning_ckpt(tracker.path)
     params, bn, _, _ = ckpt_mod.from_torch_state_dict(
         loaded["state_dict"], template[0], template[1], drop_keys=("class_embedding.weight",)
     )
-    tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val)
+    tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
     ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
     stream = sampling.balanced_indices(label_train, seed=cfg.seed)
     train_stream = np.asarray(s_tr)[stream]
@@ -815,6 +872,9 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         )
     )
     results["paths"]["joint_embeddings"] = export_embeddings_csv(cfg, "joint", joint_all, sup_labels, le)
+    with timer.stage("ckpt_save"):
+        tracker.flush()
+        sup_tracker.flush()
     results["timings"] = dict(timer.timings)
     if cfg.verbose and timer.timings:
         print("stage timings:", timer.summary())

@@ -74,11 +74,7 @@ def make_unimodal_epoch_fns(
     del modality  # metadata only
     vae_loss = _select_vae_loss(loss_backend)
 
-    def batch_step(ts: TrainState, data, source, class_, bidx, bmask, brng):
-        bd = data[bidx]
-        bs = source[bidx]
-        bc = class_[bidx] if use_class_labels else None
-
+    def batch_step(ts: TrainState, bd, bs, bc, bmask, brng):
         def loss_fn(params):
             (enc, mu, logvar, dec), new_bn = cvae.unimodal_cvae_apply(
                 params, ts.bn_state, bd, bs, bc, rng=brng, training=True, mask=bmask,
@@ -93,33 +89,75 @@ def make_unimodal_epoch_fns(
         return TrainState(new_params, new_bn, new_opt), Metrics(loss, mse, kl)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_epoch(ts: TrainState, data, source, class_, idx, mask, rng):
+    def train_epoch(ts: TrainState, data, source, class_, idx, mask, rng, n_batches=None):
         keys = jax.random.split(rng, idx.shape[0])
+        # ONE whole-epoch gather instead of a small gather kernel per step
+        # (~0.2 ms/step measured at batch 512); the loop then consumes free
+        # leading-axis slices of the [nb, B, ...] arrays.
+        bd_all = data[idx]
+        bs_all = source[idx]
+        bc_all = class_[idx] if use_class_labels else idx
 
-        def body(carry, xs):
-            bidx, bmask, brng = xs
-            new_ts, m = batch_step(carry, data, source, class_, bidx, bmask, brng)
-            return new_ts, m
+        if n_batches is None:
+            # static plan: scan over every row, per-batch Metrics
+            def body(carry, xs):
+                bd, bs, bc, bmask, brng = xs
+                new_ts, m = batch_step(
+                    carry, bd, bs, bc if use_class_labels else None, bmask, brng
+                )
+                return new_ts, m
 
-        ts, ms = jax.lax.scan(body, ts, (idx, mask, keys))
-        return ts, ms
+            ts, ms = jax.lax.scan(body, ts, (bd_all, bs_all, bc_all, mask, keys))
+            return ts, ms
+
+        # bucketed plan: the [nb_bucket, B] arrays are shape-padded so one
+        # compiled program serves every dataset/stage; only the first
+        # n_batches (runtime scalar) execute, and Metrics are scalar means
+        def fbody(i, carry):
+            ts, acc = carry
+            new_ts, m = batch_step(
+                ts, bd_all[i], bs_all[i],
+                bc_all[i] if use_class_labels else None, mask[i], keys[i],
+            )
+            return new_ts, (acc[0] + m.loss, acc[1] + m.mse, acc[2] + m.kl)
+
+        zero = jnp.float32(0)
+        ts, acc = jax.lax.fori_loop(0, n_batches, fbody, (ts, (zero, zero, zero)))
+        nb = jnp.maximum(n_batches.astype(jnp.float32), 1.0)
+        return ts, Metrics(acc[0] / nb, acc[1] / nb, acc[2] / nb)
 
     @jax.jit
-    def eval_epoch(params, bn_state, data, source, class_, idx, mask, rng):
+    def eval_epoch(params, bn_state, data, source, class_, idx, mask, rng, n_batches=None):
         keys = jax.random.split(rng, idx.shape[0])
+        bd_all = data[idx]
+        bs_all = source[idx]
+        bc_all = class_[idx] if use_class_labels else idx
 
-        def body(carry, xs):
-            bidx, bmask, brng = xs
-            bd = data[bidx]
-            bc = class_[bidx] if use_class_labels else None
+        def one(bd, bs, bc, bmask, brng):
             (enc, mu, logvar, dec), _ = cvae.unimodal_cvae_apply(
-                params, bn_state, bd, source[bidx], bc, rng=brng, training=False, mask=bmask
+                params, bn_state, bd, bs, bc if use_class_labels else None,
+                rng=brng, training=False, mask=bmask
             )
             total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
-            return carry, Metrics(total, mse, kl)
+            return Metrics(total, mse, kl)
 
-        _, ms = jax.lax.scan(body, None, (idx, mask, keys))
-        return ms
+        if n_batches is None:
+            def body(carry, xs):
+                bd, bs, bc, bmask, brng = xs
+                return carry, one(bd, bs, bc if use_class_labels else None, bmask, brng)
+
+            _, ms = jax.lax.scan(body, None, (bd_all, bs_all, bc_all, mask, keys))
+            return ms
+
+        def fbody(i, acc):
+            m = one(bd_all[i], bs_all[i],
+                    bc_all[i] if use_class_labels else None, mask[i], keys[i])
+            return (acc[0] + m.loss, acc[1] + m.mse, acc[2] + m.kl)
+
+        zero = jnp.float32(0)
+        acc = jax.lax.fori_loop(0, n_batches, fbody, (zero, zero, zero))
+        nb = jnp.maximum(n_batches.astype(jnp.float32), 1.0)
+        return Metrics(acc[0] / nb, acc[1] / nb, acc[2] / nb)
 
     return train_epoch, eval_epoch
 
@@ -149,11 +187,7 @@ def make_multimodal_epoch_fns(
     """
     multimodal_vae_loss = _select_multimodal_loss(loss_backend)
 
-    def batch_step(ts: TrainState, wave, isi, source, class_, bidx, bmask, brng):
-        b1, b2 = wave[bidx], isi[bidx]
-        bs = source[bidx]
-        bc = class_[bidx] if use_class_labels else None
-
+    def batch_step(ts: TrainState, b1, b2, bs, bc, bmask, brng):
         def loss_fn(params):
             (enc, mu, logvar, d1, d2), new_bn = cvae.multimodal_cvae_apply(
                 params, ts.bn_state, b1, b2, bs, bc, rng=brng, training=True, mask=bmask,
@@ -171,34 +205,69 @@ def make_multimodal_epoch_fns(
         return TrainState(new_params, new_bn, new_opt), Metrics(loss, mse, kl)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_epoch(ts: TrainState, wave, isi, source, class_, idx, mask, rng):
+    def train_epoch(ts: TrainState, wave, isi, source, class_, idx, mask, rng, n_batches=None):
         keys = jax.random.split(rng, idx.shape[0])
+        b1_all, b2_all = wave[idx], isi[idx]
+        bs_all = source[idx]
+        bc_all = class_[idx] if use_class_labels else idx
 
-        def body(carry, xs):
-            bidx, bmask, brng = xs
-            return batch_step(carry, wave, isi, source, class_, bidx, bmask, brng)
+        if n_batches is None:
+            def body(carry, xs):
+                b1, b2, bs, bc, bmask, brng = xs
+                return batch_step(
+                    carry, b1, b2, bs, bc if use_class_labels else None, bmask, brng
+                )
 
-        ts, ms = jax.lax.scan(body, ts, (idx, mask, keys))
-        return ts, ms
+            ts, ms = jax.lax.scan(body, ts, (b1_all, b2_all, bs_all, bc_all, mask, keys))
+            return ts, ms
+
+        def fbody(i, carry):
+            ts, acc = carry
+            new_ts, m = batch_step(
+                ts, b1_all[i], b2_all[i], bs_all[i],
+                bc_all[i] if use_class_labels else None, mask[i], keys[i],
+            )
+            return new_ts, (acc[0] + m.loss, acc[1] + m.mse, acc[2] + m.kl)
+
+        zero = jnp.float32(0)
+        ts, acc = jax.lax.fori_loop(0, n_batches, fbody, (ts, (zero, zero, zero)))
+        nb = jnp.maximum(n_batches.astype(jnp.float32), 1.0)
+        return ts, Metrics(acc[0] / nb, acc[1] / nb, acc[2] / nb)
 
     @jax.jit
-    def eval_epoch(params, bn_state, wave, isi, source, class_, idx, mask, rng):
+    def eval_epoch(params, bn_state, wave, isi, source, class_, idx, mask, rng, n_batches=None):
         keys = jax.random.split(rng, idx.shape[0])
+        b1_all, b2_all = wave[idx], isi[idx]
+        bs_all = source[idx]
+        bc_all = class_[idx] if use_class_labels else idx
 
-        def body(carry, xs):
-            bidx, bmask, brng = xs
-            b1, b2 = wave[bidx], isi[bidx]
-            bc = class_[bidx] if use_class_labels else None
+        def one(b1, b2, bs, bc, bmask, brng):
             (enc, mu, logvar, d1, d2), _ = cvae.multimodal_cvae_apply(
-                params, bn_state, b1, b2, source[bidx], bc, rng=brng, training=False, mask=bmask
+                params, bn_state, b1, b2, bs, bc,
+                rng=brng, training=False, mask=bmask
             )
             total, (mse1, mse2, kl) = multimodal_vae_loss(
                 b1, b2, d1, d2, mu, logvar,
                 beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight, mask=bmask,
             )
-            return carry, Metrics(total, mse1 + mse2, kl)
+            return Metrics(total, mse1 + mse2, kl)
 
-        _, ms = jax.lax.scan(body, None, (idx, mask, keys))
-        return ms
+        if n_batches is None:
+            def body(carry, xs):
+                b1, b2, bs, bc, bmask, brng = xs
+                return carry, one(b1, b2, bs, bc if use_class_labels else None, bmask, brng)
+
+            _, ms = jax.lax.scan(body, None, (b1_all, b2_all, bs_all, bc_all, mask, keys))
+            return ms
+
+        def fbody(i, acc):
+            m = one(b1_all[i], b2_all[i], bs_all[i],
+                    bc_all[i] if use_class_labels else None, mask[i], keys[i])
+            return (acc[0] + m.loss, acc[1] + m.mse, acc[2] + m.kl)
+
+        zero = jnp.float32(0)
+        acc = jax.lax.fori_loop(0, n_batches, fbody, (zero, zero, zero))
+        nb = jnp.maximum(n_batches.astype(jnp.float32), 1.0)
+        return Metrics(acc[0] / nb, acc[1] / nb, acc[2] / nb)
 
     return train_epoch, eval_epoch

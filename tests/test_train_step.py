@@ -130,3 +130,38 @@ def test_clipping_matches_global_norm():
     gn = float(jnp.sqrt(jnp.sum(jnp.square(g["a"]))))
     clipped, _ = optax.clip_by_global_norm(1.0).update(g, optax.clip_by_global_norm(1.0).init(p), p)
     np.testing.assert_allclose(np.asarray(clipped["a"]), np.asarray(g["a"]) / gn, rtol=1e-6)
+
+
+def test_bf16_optimizer_state_tracks_fp32():
+    """state_dtype='bfloat16' stores moments in bf16 but the trajectory must
+    track the fp32 optimizer closely (update math stays fp32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(64,)).astype(np.float32)),
+    }
+    tx32 = optim.make_optimizer(1e-3, 0.01)
+    tx16 = optim.make_optimizer(1e-3, 0.01, state_dtype="bfloat16")
+    st16 = tx16.init(params)
+    leaves = jax.tree_util.tree_leaves(st16)
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in leaves)
+
+    p32, o32 = params, tx32.init(params)
+    p16, o16 = params, st16
+    for i in range(20):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)) * 0.1, params
+        )
+        u32, o32 = tx32.update(g, o32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        u16, o16 = tx16.update(g, o16, p16)
+        p16 = optax.apply_updates(p16, u16)
+    for k in params:
+        a, b = np.asarray(p16[k], np.float64), np.asarray(p32[k], np.float64)
+        rel = np.linalg.norm(a - b) / np.linalg.norm(b - np.asarray(params[k], np.float64))
+        assert rel < 0.05, (k, rel)  # drift well under 5% of the total movement
