@@ -101,6 +101,10 @@ class PipelineConfig:
     # Optimizer moment storage dtype (None = fp32 torch-exact; "bfloat16"
     # halves the bandwidth-bound optimizer state traffic, ~10% of the step).
     opt_state_dtype: Optional[str] = None
+    # Data-parallel training over the first N devices of a jax.sharding.Mesh:
+    # params/data replicated, batch plans sharded on the batch axis, gradient
+    # all-reduce inserted by GSPMD. None = single-device.
+    dp_devices: Optional[int] = None
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -258,13 +262,27 @@ def _fit_unimodal_stage(
     source = device_data.pad_rows(source, n_bucket)
     class_ = device_data.pad_rows(class_, n_bucket)
 
+    repl, plan_sharding = _dp_shardings(cfg)
+    if repl is not None:
+        # data parallelism: dataset + params replicated, plans batch-sharded;
+        # GSPMD inserts the gradient all-reduce over the 'data' mesh axis
+        data, source, class_ = (jax.device_put(a, repl) for a in (data, source, class_))
+        ts = jax.device_put(ts, repl)
+
+    def _plan_arrays(idx, mask):
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+        if plan_sharding is not None:
+            idx = jax.device_put(idx, plan_sharding)
+            mask = jax.device_put(mask, plan_sharding)
+        return idx, mask
+
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
     )
     v_idx, v_mask, v_nb = device_data.pad_plan(
         val_plan[0], val_plan[1], device_data.next_pow2(val_plan[0].shape[0], minimum=1)
     )
-    val_idx, val_mask = jnp.asarray(v_idx), jnp.asarray(v_mask)
+    val_idx, val_mask = _plan_arrays(v_idx, v_mask)
     val_nb = jnp.asarray(v_nb, jnp.int32)
 
     def run_train(state, key, epoch):
@@ -276,8 +294,9 @@ def _fit_unimodal_stage(
         idx, mask, nb = device_data.pad_plan(
             idx, mask, device_data.next_pow2(idx.shape[0], minimum=1)
         )
+        idx, mask = _plan_arrays(idx, mask)
         return train_epoch(
-            state, data, source, class_, jnp.asarray(idx), jnp.asarray(mask),
+            state, data, source, class_, idx, mask,
             jax.random.fold_in(key, 1), jnp.asarray(nb, jnp.int32),
         )
 
@@ -330,12 +349,26 @@ def _fit_multimodal_stage(
         loss_backend=cfg.loss_backend,
         block_backend=cfg.block_backend,
     )
-    # shape bucketing: see _fit_unimodal_stage
+    # shape bucketing + optional data parallelism: see _fit_unimodal_stage
     n_bucket = device_data.next_pow2(int(wave.shape[0]))
     wave = device_data.pad_rows(wave, n_bucket)
     isi = device_data.pad_rows(isi, n_bucket)
     source = device_data.pad_rows(source, n_bucket)
     class_ = device_data.pad_rows(class_, n_bucket)
+
+    repl, plan_sharding = _dp_shardings(cfg)
+    if repl is not None:
+        wave, isi, source, class_ = (
+            jax.device_put(a, repl) for a in (wave, isi, source, class_)
+        )
+        ts = jax.device_put(ts, repl)
+
+    def _plan_arrays(idx, mask):
+        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+        if plan_sharding is not None:
+            idx = jax.device_put(idx, plan_sharding)
+            mask = jax.device_put(mask, plan_sharding)
+        return idx, mask
 
     val_plan = loop.limit_batches(
         batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
@@ -343,7 +376,7 @@ def _fit_multimodal_stage(
     v_idx, v_mask, v_nb = device_data.pad_plan(
         val_plan[0], val_plan[1], device_data.next_pow2(val_plan[0].shape[0], minimum=1)
     )
-    val_idx, val_mask = jnp.asarray(v_idx), jnp.asarray(v_mask)
+    val_idx, val_mask = _plan_arrays(v_idx, v_mask)
     val_nb = jnp.asarray(v_nb, jnp.int32)
 
     def run_train(state, key, epoch):
@@ -355,8 +388,9 @@ def _fit_multimodal_stage(
         idx, mask, nb = device_data.pad_plan(
             idx, mask, device_data.next_pow2(idx.shape[0], minimum=1)
         )
+        idx, mask = _plan_arrays(idx, mask)
         return train_epoch(
-            state, wave, isi, source, class_, jnp.asarray(idx), jnp.asarray(mask),
+            state, wave, isi, source, class_, idx, mask,
             jax.random.fold_in(key, 1), jnp.asarray(nb, jnp.int32),
         )
 
@@ -388,6 +422,16 @@ def _finetune_split_indices(cfg: PipelineConfig, n: int, key) -> Tuple[np.ndarra
         return registry.chip_finetune_split(meta)
     return train_val_split(n, cfg.finetune_split, key)
 
+
+
+def _dp_shardings(cfg: PipelineConfig):
+    """(replicated, plan) NamedShardings for cfg.dp_devices, or (None, None)."""
+    if not cfg.dp_devices or cfg.dp_devices <= 1:
+        return None, None
+    from hippie_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(cfg.dp_devices)
+    return pmesh.replicated(mesh), pmesh.batch_sharded(mesh, batch_axis=1, ndim=2)
 
 
 def _stage_resume_dir(cfg: PipelineConfig, stage: str) -> Optional[str]:

@@ -66,6 +66,8 @@ def build_parser():
                         help="extract stage-3 embeddings WITHOUT class conditioning (fixes the label leak)")
     parser.add_argument("--loss-backend", choices=("xla", "pallas"), default="xla",
                         help="VAE-loss kernel inside every train/eval step")
+    parser.add_argument("--dp-devices", type=int, default=None,
+                        help="data-parallel training over the first N devices (jax Mesh + GSPMD)")
     parser.add_argument("--opt-state-dtype", choices=("float32", "bfloat16"), default="float32",
                         help="Adam moment storage dtype; bfloat16 halves optimizer HBM traffic")
     parser.add_argument("--block-backend", choices=("xla", "fused", "pallas"), default="xla",
@@ -132,6 +134,7 @@ def run(args, model_type: str = "unimodal"):
         block_backend=getattr(args, "block_backend", "xla"),
         opt_state_dtype=(None if getattr(args, "opt_state_dtype", "float32") == "float32"
                          else args.opt_state_dtype),
+        dp_devices=getattr(args, "dp_devices", None),
         log_fn=log_fn,
     )
 

@@ -117,6 +117,22 @@ def test_multimodal_honest_eval_and_drop_index(synth_root, tmp_path, monkeypatch
 
 
 @pytest.mark.slow
+def test_unimodal_pipeline_data_parallel(synth_root, tmp_path):
+    """--dp-devices: the full pipeline runs sharded over the 8-device CPU
+    mesh (params replicated, batch plans sharded, GSPMD all-reduce) and
+    produces the same artifact contract as the single-device path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest")
+    cfg = _base_cfg(synth_root, tmp_path, dp_devices=8)
+    results = run_pipeline(cfg)
+    for kind in ("waveform", "isi", "joint"):
+        assert 0.0 <= results["best"][kind]["balanced_accuracy"] <= 1.0
+    assert os.path.exists(os.path.join(cfg.output_dir, "cellexplorer-celltype_joint_knn.csv"))
+
+
+@pytest.mark.slow
 def test_multimodal_pipeline_end_to_end(synth_root, tmp_path):
     cfg = _base_cfg(synth_root, tmp_path, model_type="multimodal")
     results = run_pipeline(cfg)
