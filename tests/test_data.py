@@ -126,3 +126,72 @@ def test_drop_index_column():
     assert wf.shape == (392, 46)  # index column removed
     assert isi.shape == (392, 99)
     assert wf[0, 0] != 0.0 or wf[1, 0] != 1.0  # no longer the row index
+
+
+def test_shape_bucketing_helpers():
+    """next_pow2 / pad_rows / pad_plan: the compile-sharing bucket contract."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hippie_tpu.data import device_data as dd
+
+    assert dd.next_pow2(1) == 64  # default minimum
+    assert dd.next_pow2(64) == 64
+    assert dd.next_pow2(65) == 128
+    assert dd.next_pow2(392) == 512
+    assert dd.next_pow2(1, minimum=1) == 1
+    assert dd.next_pow2(3, minimum=1) == 4
+
+    x = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    xp = dd.pad_rows(x, 8)
+    assert xp.shape == (8, 4)
+    np.testing.assert_array_equal(np.asarray(xp[:3]), np.asarray(x))
+    assert float(jnp.sum(jnp.abs(xp[3:]))) == 0.0
+    assert dd.pad_rows(x, 3) is x  # no-op when already big enough
+
+    idx, mask = dd.batch_plan(np.arange(10), 4, shuffle=False)
+    idx_p, mask_p, nb = dd.pad_plan(idx, mask, 8)
+    assert idx_p.shape == (8, 4) and mask_p.shape == (8, 4)
+    assert nb == idx.shape[0]
+    np.testing.assert_array_equal(idx_p[:nb], idx)
+    assert mask_p[nb:].sum() == 0  # padded batches fully masked
+
+
+def test_bucketed_epoch_matches_exact_plan():
+    """The bucketed (fori_loop + n_batches) epoch must produce the same final
+    state and the same mean loss as the exact scan plan."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hippie_tpu.data import device_data as dd
+    from hippie_tpu.models import cvae
+    from hippie_tpu.train import optim, step
+
+    rng = np.random.default_rng(0)
+    n, B = 40, 16
+    data = jnp.asarray(rng.normal(size=(n, 50)).astype(np.float32))
+    source = jnp.zeros((n,), jnp.int32)
+    cfg = cvae.CVAEConfig(z_dim=4, output_size=50, num_blocks=(1, 1, 1, 1))
+    params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+    tx = optim.make_optimizer(1e-3, 0.01)
+    train_epoch, eval_epoch = step.make_unimodal_epoch_fns(tx, beta=1.0)
+    idx, mask = dd.batch_plan(np.arange(n), B, shuffle=False)
+    key = jax.random.PRNGKey(1)
+
+    ts1 = step.TrainState(params, bn, tx.init(params))
+    ts1, ms_exact = train_epoch(
+        ts1, data, source, source, jnp.asarray(idx), jnp.asarray(mask), key
+    )
+
+    idx_p, mask_p, nb = dd.pad_plan(idx, mask, 8)
+    params2, bn2 = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+    ts2 = step.TrainState(params2, bn2, tx.init(params2))
+    ts2, ms_bucket = train_epoch(
+        ts2, data, source, source, jnp.asarray(idx_p), jnp.asarray(mask_p),
+        key, jnp.asarray(nb, jnp.int32),
+    )
+
+    np.testing.assert_allclose(
+        float(jnp.mean(ms_exact.loss)), float(ms_bucket.loss), rtol=1e-6
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(ts1.params), jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
