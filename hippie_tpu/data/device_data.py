@@ -124,3 +124,40 @@ def pad_plan(idx, mask, nb_bucket: int):
     mask_p = _np.zeros((nb_bucket,) + mask.shape[1:], mask.dtype)
     mask_p[:nb] = mask
     return idx_p, mask_p, nb
+
+
+def epoch_shuffle_order(key, P: int, n_real):
+    """Canonical bucketed epoch-shuffle order shared by the host fit loop and
+    train/device_fit: a stable argsort of per-slot uniforms with pad slots
+    (index >= n_real) pushed last. The first n_real output positions are a
+    uniform random permutation of 0..n_real-1, while the program's shape
+    depends only on the power-of-two bucket P — so one compiled fit program
+    serves every real stream length in the bucket (n_real is a runtime
+    scalar). Works traced (device_fit) and eagerly (host plans)."""
+    u = jax.random.uniform(key, (P,))
+    return jnp.argsort(jnp.where(jnp.arange(P) < n_real, u, jnp.inf))
+
+
+def host_epoch_plan(stream, batch_size: int, shuffle: bool, key, limit=None):
+    """Build one epoch's (idx [nb_pad, B], mask, n_batches) on the host,
+    bit-identically to the plan device_fit generates in-device — the host
+    fit loop (train/loop.py path, used for --resume) stays on the same
+    trajectory as the default whole-fit-on-device path."""
+    from hippie_tpu.train.loop import limit_count
+
+    stream = np.asarray(stream, np.int32)
+    n_real = int(stream.shape[0])
+    P = next_pow2(n_real, minimum=1)
+    sp = np.zeros((P,), np.int32)
+    sp[:n_real] = stream
+    if shuffle:
+        sp = sp[np.asarray(epoch_shuffle_order(key, P, n_real))]
+    nb_full = max(1, -(-n_real // batch_size))
+    n_keep = limit_count(nb_full, limit)
+    nb_pad = next_pow2(n_keep, minimum=1)
+    nbB = nb_pad * batch_size
+    flat = np.zeros((nbB,), np.int32)
+    m = min(P, nbB)
+    flat[:m] = sp[:m]
+    mask = (np.arange(nbB) < n_real).astype(np.float32)
+    return flat.reshape(nb_pad, batch_size), mask.reshape(nb_pad, batch_size), n_keep

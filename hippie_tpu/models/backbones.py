@@ -222,14 +222,20 @@ def resnet18_enc_apply(
     ``backend='pallas'`` (training mode only) runs every BasicBlock as one
     fused Pallas megakernel (ops/pallas_blocks.py) with bf16 activations;
     ``backend='fused'`` runs the identical fused math (hand-written backward,
-    bf16 storage) as plain XLA ops.
+    bf16 storage) as plain XLA ops. ``backend='bf16'`` keeps the standard XLA
+    ops + autodiff but carries the block-chain activations in bfloat16
+    (BatchNorm statistics stay fp32) — the backward's saved residuals are the
+    dominant HBM traffic, so halving them is the cheap mixed-precision mode.
     """
     fused = backend in ("pallas", "fused") and training
+    bf16 = backend == "bf16" and training
     impl = "xla" if backend == "fused" else "pallas"
     new_s = {}
     out = conv1d(x, p["conv1"]["weight"], stride=2, padding=1)
     out, new_s["bn1"] = batch_norm(out, p["bn1"], s["bn1"], training=training, mask=mask)
     out = leaky_relu(out)
+    if bf16:
+        out = out.astype(jnp.bfloat16)
     if fused:
         from hippie_tpu.ops import pallas_blocks
 
@@ -254,6 +260,8 @@ def resnet18_enc_apply(
     if fused:
         out = jnp.mean(out.astype(x.dtype), axis=0)  # adaptive pool, L leading
     else:
+        if bf16:
+            out = out.astype(x.dtype)  # pool + head stay fp32
         out = adaptive_avg_pool_to_1(out)
     out = dense(out, p["linear"]["weight"], p["linear"]["bias"])
     return out, new_s
@@ -265,11 +273,14 @@ def resnet18_dec_apply(
 ):
     """x: [B, 2*z_dim] -> [B, out_len]. Reference: ResNet18Dec.forward (backbones.py:128-141)."""
     fused = backend in ("pallas", "fused") and training
+    bf16 = backend == "bf16" and training
     impl = "xla" if backend == "fused" else "pallas"
     new_s = {}
     out = dense(x, p["linear"]["weight"], p["linear"]["bias"])  # [B, 512]
     out = out[:, None, :]  # [B, 1, 512] channels-last; torch: [B, 512, 1]
     out = upsample_nearest(out, 4)  # F.interpolate(scale_factor=4), nearest default
+    if bf16:
+        out = out.astype(jnp.bfloat16)
     if fused:
         from hippie_tpu.ops import pallas_blocks
 
@@ -291,6 +302,8 @@ def resnet18_dec_apply(
         new_s[lname] = layer_s
     if fused:
         out = jnp.transpose(out, (1, 0, 2)).astype(x.dtype)
+    elif bf16:
+        out = out.astype(x.dtype)  # final resize-conv + head stay fp32
     out = _resize_conv_apply(p["conv1"], out, scale=2)  # [B, 64, 1]
     out = out.reshape(out.shape[0], -1)  # [B, 64]
     out = dense(out, p["linear_out"]["weight"], p["linear_out"]["bias"])

@@ -55,13 +55,13 @@ def conv1d(
     """
     out = lax.conv_general_dilated(
         x,
-        weight,
+        weight.astype(x.dtype),  # no-op in fp32; enables the bf16 fast path
         window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NHC", "HIO", "NHC"),
     )
     if bias is not None:
-        out = out + bias
+        out = out + bias.astype(out.dtype)
     return out
 
 
@@ -123,6 +123,18 @@ def batch_norm(
         per_sample_elems = x.shape[1]
     else:  # pragma: no cover - defensive
         raise ValueError(f"batch_norm expects 2D/3D input, got {x.shape}")
+
+    if x.dtype != jnp.float32:
+        # bf16 fast path (backbones backend="bf16"): the activation arrives in
+        # a reduced dtype but statistics/EMA math must stay fp32 — a bf16
+        # reduction over B*L elements loses ~2 decimal digits. The normalized
+        # output is cast back so the surrounding block chain stays bf16; the
+        # fp32 path below is untouched (bit-identical to the torch goldens).
+        y, new_state = batch_norm(
+            x.astype(jnp.float32), params, state,
+            training=training, momentum=momentum, eps=eps, mask=mask,
+        )
+        return y.astype(x.dtype), new_state
 
     if not training:
         inv = lax.rsqrt(state["running_var"] + eps)

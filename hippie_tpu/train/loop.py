@@ -35,14 +35,18 @@ def device_clone(tree):
     return jax.tree_util.tree_map(jnp.copy, tree)
 
 
-def limit_batches(plan, limit):
-    """Apply a Lightning-style limit (None | float fraction | int count)."""
-    idx, mask = plan
+def limit_count(nb: int, limit) -> int:
+    """Lightning-style batch limit (None | float fraction | int count) -> count."""
     if limit is None:
-        return idx, mask
-    nb = idx.shape[0]
+        return nb
     n = max(1, int(limit * nb)) if isinstance(limit, float) and limit <= 1.0 else int(limit)
-    n = min(nb, max(1, n))
+    return min(nb, max(1, n))
+
+
+def limit_batches(plan, limit):
+    """Apply a Lightning-style limit to a (idx, mask) batch plan."""
+    idx, mask = plan
+    n = limit_count(idx.shape[0], limit)
     return idx[:n], mask[:n]
 
 

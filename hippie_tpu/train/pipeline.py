@@ -94,9 +94,11 @@ class PipelineConfig:
     # Compute backend for the VAE loss inside every train/eval step:
     # "xla" (default) or "pallas" (hand-fused kernel, ops/pallas_ops.py).
     loss_backend: str = "xla"
-    # Backbone block backend for TRAINING steps: "xla" or "pallas" (fused
-    # BasicBlock megakernels with hand-written backward, ops/pallas_blocks.py;
-    # bf16 activations — a fast path, not bit-identical to the torch goldens).
+    # Backbone block backend for TRAINING steps: "xla" (default, torch-exact),
+    # "bf16" (standard ops, bfloat16 block activations, fp32 BN stats), or
+    # "fused"/"pallas" (hand-written fused BasicBlock fwd/bwd,
+    # ops/pallas_blocks.py). Non-"xla" modes are fast paths, not bit-identical
+    # to the torch goldens.
     block_backend: str = "xla"
     # Optimizer moment storage dtype (None = fp32 torch-exact; "bfloat16"
     # halves the bandwidth-bound optimizer state traffic, ~10% of the step).
@@ -105,6 +107,13 @@ class PipelineConfig:
     # params/data replicated, batch plans sharded on the batch axis, gradient
     # all-reduce inserted by GSPMD. None = single-device.
     dp_devices: Optional[int] = None
+    # Stage-fit execution: "device" (default) runs the whole fit — epochs,
+    # validation, early stopping, best-ckpt snapshot — as ONE jitted
+    # lax.while_loop (train/device_fit.py; zero per-epoch host round trips,
+    # per-epoch logs replayed after the stage); "host" is the per-epoch
+    # Python loop (train/loop.py; live per-epoch prints, required for
+    # --resume, bit-compatible trajectory).
+    fit_loop: str = "device"
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -285,14 +294,36 @@ def _fit_unimodal_stage(
     val_idx, val_mask = _plan_arrays(v_idx, v_mask)
     val_nb = jnp.asarray(v_nb, jnp.int32)
 
-    def run_train(state, key, epoch):
-        stream = fixed_train_stream if fixed_train_stream is not None else train_indices
-        plan = batch_plan(
-            stream, batch_size, shuffle=shuffle_train, key=jax.random.fold_in(key, 0)
+    stream = fixed_train_stream if fixed_train_stream is not None else train_indices
+
+    if cfg.fit_loop == "device" and resume_dir is None:
+        # Whole fit as one XLA call (train/device_fit.py): no per-epoch RTTs.
+        from hippie_tpu.train import device_fit as dfit
+
+        batch_step, eval_step = step.make_unimodal_steps(
+            tx, beta=beta, loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
         )
-        idx, mask = loop.limit_batches(plan, cfg.limit_train_batches)
-        idx, mask, nb = device_data.pad_plan(
-            idx, mask, device_data.next_pow2(idx.shape[0], minimum=1)
+        return dfit.device_fit(
+            ts,
+            batch_step=batch_step, eval_step=eval_step,
+            arrays=(data,), source=source, class_=class_,
+            train_stream=np.asarray(stream), batch_size=batch_size,
+            val_idx=val_idx, val_mask=val_mask, val_nb=val_nb,
+            max_epochs=max_epochs,
+            early_stopping_patience=cfg.early_stopping_patience,
+            seed=cfg.seed + stage_seed,
+            use_class_labels=use_class_labels, shuffle=shuffle_train,
+            limit_train_batches=cfg.limit_train_batches,
+            plan_sharding=plan_sharding,
+            log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
+        )
+
+    def run_train(state, key, epoch):
+        # Same canonical bucketed plan as device_fit generates in-device, so
+        # --fit-loop host/--resume stay on the identical trajectory.
+        idx, mask, nb = device_data.host_epoch_plan(
+            stream, batch_size, shuffle_train, jax.random.fold_in(key, 0),
+            cfg.limit_train_batches,
         )
         idx, mask = _plan_arrays(idx, mask)
         return train_epoch(
@@ -379,14 +410,36 @@ def _fit_multimodal_stage(
     val_idx, val_mask = _plan_arrays(v_idx, v_mask)
     val_nb = jnp.asarray(v_nb, jnp.int32)
 
-    def run_train(state, key, epoch):
-        stream = fixed_train_stream if fixed_train_stream is not None else train_indices
-        plan = batch_plan(
-            stream, batch_size, shuffle=shuffle_train, key=jax.random.fold_in(key, 0)
+    stream = fixed_train_stream if fixed_train_stream is not None else train_indices
+
+    if cfg.fit_loop == "device" and resume_dir is None:
+        from hippie_tpu.train import device_fit as dfit
+
+        batch_step, eval_step = step.make_multimodal_steps(
+            tx, beta=cfg.beta, mod1_weight=cfg.mod1_weight, mod2_weight=cfg.mod2_weight,
+            loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
         )
-        idx, mask = loop.limit_batches(plan, cfg.limit_train_batches)
-        idx, mask, nb = device_data.pad_plan(
-            idx, mask, device_data.next_pow2(idx.shape[0], minimum=1)
+        return dfit.device_fit(
+            ts,
+            batch_step=batch_step, eval_step=eval_step,
+            arrays=(wave, isi), source=source, class_=class_,
+            train_stream=np.asarray(stream), batch_size=batch_size,
+            val_idx=val_idx, val_mask=val_mask, val_nb=val_nb,
+            max_epochs=max_epochs,
+            early_stopping_patience=cfg.early_stopping_patience,
+            seed=cfg.seed + stage_seed,
+            use_class_labels=use_class_labels, shuffle=shuffle_train,
+            limit_train_batches=cfg.limit_train_batches,
+            plan_sharding=plan_sharding,
+            log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
+        )
+
+    def run_train(state, key, epoch):
+        # Same canonical bucketed plan as device_fit generates in-device, so
+        # --fit-loop host/--resume stay on the identical trajectory.
+        idx, mask, nb = device_data.host_epoch_plan(
+            stream, batch_size, shuffle_train, jax.random.fold_in(key, 0),
+            cfg.limit_train_batches,
         )
         idx, mask = _plan_arrays(idx, mask)
         return train_epoch(

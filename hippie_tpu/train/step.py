@@ -47,6 +47,50 @@ def _select_vae_loss(loss_backend: str):
     return losses.vae_loss
 
 
+def make_unimodal_steps(
+    tx: optax.GradientTransformation,
+    *,
+    beta: float = 1.0,
+    use_class_labels: bool = False,
+    loss_backend: str = "xla",
+    block_backend: str = "xla",
+):
+    """Build the per-batch (batch_step, eval_step) pair for the unimodal cVAE.
+
+    batch_step(ts, bd, bs, bc, bmask, brng) -> (ts, Metrics)   # fwd+bwd+AdamW
+    eval_step(params, bn, bd, bs, bc, bmask, brng) -> Metrics  # running stats
+
+    Shared by the epoch runners below and by train.device_fit (the whole-fit
+    while_loop). ``use_class_labels`` is consumed by the callers (they pass
+    bc=None when False); it is accepted here for signature symmetry.
+    """
+    del use_class_labels
+    vae_loss = _select_vae_loss(loss_backend)
+
+    def batch_step(ts: TrainState, bd, bs, bc, bmask, brng):
+        def loss_fn(params):
+            (enc, mu, logvar, dec), new_bn = cvae.unimodal_cvae_apply(
+                params, ts.bn_state, bd, bs, bc, rng=brng, training=True, mask=bmask,
+                backend=block_backend,
+            )
+            total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
+            return total, (new_bn, mse, kl)
+
+        (loss, (new_bn, mse, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return TrainState(new_params, new_bn, new_opt), Metrics(loss, mse, kl)
+
+    def eval_step(params, bn_state, bd, bs, bc, bmask, brng):
+        (enc, mu, logvar, dec), _ = cvae.unimodal_cvae_apply(
+            params, bn_state, bd, bs, bc, rng=brng, training=False, mask=bmask
+        )
+        total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
+        return Metrics(total, mse, kl)
+
+    return batch_step, eval_step
+
+
 def make_unimodal_epoch_fns(
     tx: optax.GradientTransformation,
     *,
@@ -69,24 +113,12 @@ def make_unimodal_epoch_fns(
     hand-fused Pallas loss kernel (ops/pallas_ops.py); ``block_backend=
     'pallas'`` runs every backbone BasicBlock as one fused megakernel with a
     hand-written backward (ops/pallas_blocks.py) — training steps only, eval
-    stays on the XLA path.
+    stays on the XLA path ('bf16' likewise trains with bfloat16 block
+    activations while eval stays fp32).
     """
-    del modality  # metadata only
-    vae_loss = _select_vae_loss(loss_backend)
-
-    def batch_step(ts: TrainState, bd, bs, bc, bmask, brng):
-        def loss_fn(params):
-            (enc, mu, logvar, dec), new_bn = cvae.unimodal_cvae_apply(
-                params, ts.bn_state, bd, bs, bc, rng=brng, training=True, mask=bmask,
-                backend=block_backend,
-            )
-            total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
-            return total, (new_bn, mse, kl)
-
-        (loss, (new_bn, mse, kl)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params)
-        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
-        return TrainState(new_params, new_bn, new_opt), Metrics(loss, mse, kl)
+    batch_step, eval_step = make_unimodal_steps(
+        tx, beta=beta, loss_backend=loss_backend, block_backend=block_backend,
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_epoch(ts: TrainState, data, source, class_, idx, mask, rng, n_batches=None):
@@ -134,12 +166,9 @@ def make_unimodal_epoch_fns(
         bc_all = class_[idx] if use_class_labels else idx
 
         def one(bd, bs, bc, bmask, brng):
-            (enc, mu, logvar, dec), _ = cvae.unimodal_cvae_apply(
-                params, bn_state, bd, bs, bc if use_class_labels else None,
-                rng=brng, training=False, mask=bmask
+            return eval_step(
+                params, bn_state, bd, bs, bc if use_class_labels else None, bmask, brng
             )
-            total, (mse, kl) = vae_loss(bd, dec, mu, logvar, beta=beta, mask=bmask)
-            return Metrics(total, mse, kl)
 
         if n_batches is None:
             def body(carry, xs):
@@ -170,21 +199,17 @@ def _select_multimodal_loss(loss_backend: str):
     return losses.multimodal_vae_loss
 
 
-def make_multimodal_epoch_fns(
+def make_multimodal_steps(
     tx: optax.GradientTransformation,
     *,
     beta: float = 1.0,
     mod1_weight: float = 1.0,
     mod2_weight: float = 1.0,
-    use_class_labels: bool = False,
     loss_backend: str = "xla",
     block_backend: str = "xla",
 ):
-    """Build (train_epoch, eval_epoch) for the joint MultiModalCVAE.
-
-    Same shape contract as the unimodal fns but with (wave, isi) arrays.
-    Loss follows model.py:454-482.
-    """
+    """Per-batch (batch_step, eval_step) for the joint MultiModalCVAE —
+    the two-data-array counterpart of make_unimodal_steps."""
     multimodal_vae_loss = _select_multimodal_loss(loss_backend)
 
     def batch_step(ts: TrainState, b1, b2, bs, bc, bmask, brng):
@@ -203,6 +228,39 @@ def make_multimodal_epoch_fns(
         updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
         return TrainState(new_params, new_bn, new_opt), Metrics(loss, mse, kl)
+
+    def eval_step(params, bn_state, b1, b2, bs, bc, bmask, brng):
+        (enc, mu, logvar, d1, d2), _ = cvae.multimodal_cvae_apply(
+            params, bn_state, b1, b2, bs, bc, rng=brng, training=False, mask=bmask
+        )
+        total, (mse1, mse2, kl) = multimodal_vae_loss(
+            b1, b2, d1, d2, mu, logvar,
+            beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight, mask=bmask,
+        )
+        return Metrics(total, mse1 + mse2, kl)
+
+    return batch_step, eval_step
+
+
+def make_multimodal_epoch_fns(
+    tx: optax.GradientTransformation,
+    *,
+    beta: float = 1.0,
+    mod1_weight: float = 1.0,
+    mod2_weight: float = 1.0,
+    use_class_labels: bool = False,
+    loss_backend: str = "xla",
+    block_backend: str = "xla",
+):
+    """Build (train_epoch, eval_epoch) for the joint MultiModalCVAE.
+
+    Same shape contract as the unimodal fns but with (wave, isi) arrays.
+    Loss follows model.py:454-482.
+    """
+    batch_step, eval_step = make_multimodal_steps(
+        tx, beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight,
+        loss_backend=loss_backend, block_backend=block_backend,
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_epoch(ts: TrainState, wave, isi, source, class_, idx, mask, rng, n_batches=None):
@@ -242,15 +300,7 @@ def make_multimodal_epoch_fns(
         bc_all = class_[idx] if use_class_labels else idx
 
         def one(b1, b2, bs, bc, bmask, brng):
-            (enc, mu, logvar, d1, d2), _ = cvae.multimodal_cvae_apply(
-                params, bn_state, b1, b2, bs, bc,
-                rng=brng, training=False, mask=bmask
-            )
-            total, (mse1, mse2, kl) = multimodal_vae_loss(
-                b1, b2, d1, d2, mu, logvar,
-                beta=beta, mod1_weight=mod1_weight, mod2_weight=mod2_weight, mask=bmask,
-            )
-            return Metrics(total, mse1 + mse2, kl)
+            return eval_step(params, bn_state, b1, b2, bs, bc, bmask, brng)
 
         if n_batches is None:
             def body(carry, xs):

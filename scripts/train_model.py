@@ -68,11 +68,16 @@ def build_parser():
                         help="VAE-loss kernel inside every train/eval step")
     parser.add_argument("--dp-devices", type=int, default=None,
                         help="data-parallel training over the first N devices (jax Mesh + GSPMD)")
+    parser.add_argument("--fit-loop", choices=("device", "host"), default="device",
+                        help="stage fits as ONE on-device while_loop (zero per-epoch host "
+                             "round trips; logs replayed post-stage) or the per-epoch host loop "
+                             "(live prints; used automatically with --resume)")
     parser.add_argument("--opt-state-dtype", choices=("float32", "bfloat16"), default="float32",
                         help="Adam moment storage dtype; bfloat16 halves optimizer HBM traffic")
-    parser.add_argument("--block-backend", choices=("xla", "fused", "pallas"), default="xla",
-                        help="backbone block kernels for training steps: 'fused' = "
-                             "hand-written fused fwd/bwd (bf16 activations) as XLA ops, "
+    parser.add_argument("--block-backend", choices=("xla", "bf16", "fused", "pallas"), default="xla",
+                        help="backbone block kernels for training steps: 'bf16' = "
+                             "standard XLA ops with bfloat16 block activations (fp32 BN stats), "
+                             "'fused' = hand-written fused fwd/bwd (bf16 activations) as XLA ops, "
                              "'pallas' = the same as Mosaic megakernels, 'xla' = plain autodiff")
     return parser
 
@@ -135,6 +140,7 @@ def run(args, model_type: str = "unimodal"):
         opt_state_dtype=(None if getattr(args, "opt_state_dtype", "float32") == "float32"
                          else args.opt_state_dtype),
         dp_devices=getattr(args, "dp_devices", None),
+        fit_loop=getattr(args, "fit_loop", "device"),
         log_fn=log_fn,
     )
 

@@ -1,0 +1,124 @@
+"""device_fit (whole-fit-as-one-while_loop) vs the host epoch loop.
+
+The two paths must produce the same trajectory: identical per-epoch losses,
+the same best epoch/val, the same early-stop point, and matching final /
+best parameters — the device fit derives its per-epoch RNG keys exactly like
+loop.fit, so any drift is a bug (not tolerance).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hippie_tpu.models import cvae
+from hippie_tpu.train import optim, pipeline, step
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+def _tiny_stage(fit_loop, *, max_epochs=5, patience=None, shuffle=True,
+                use_class_labels=False, limit=None, seed=7):
+    cfg = pipeline.PipelineConfig(
+        verbose=False, fit_loop=fit_loop, early_stopping_patience=patience,
+        limit_train_batches=limit, seed=seed,
+    )
+    rng = np.random.default_rng(0)
+    n = 52
+    data = jnp.asarray(rng.normal(size=(n, 50)).astype(np.float32))
+    source = jnp.zeros((n,), jnp.int32)
+    class_ = jnp.asarray(rng.integers(0, 3, size=n).astype(np.int32))
+    cfg_m = cvae.CVAEConfig(z_dim=4, output_size=50, num_classes=3, num_blocks=(1, 1, 1, 1))
+    params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(1), cfg_m)
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    ts = step.TrainState(params, bn, tx.init(params))
+    logs = []
+    cfg = dataclasses.replace(cfg, log_fn=logs.append)
+    res = pipeline._fit_unimodal_stage(
+        cfg=cfg, ts=ts, tx=tx, data=data, source=source, class_=class_,
+        train_indices=np.arange(40), val_indices=np.arange(40, n),
+        batch_size=16, max_epochs=max_epochs, beta=1.0,
+        use_class_labels=use_class_labels, shuffle_train=shuffle, stage_seed=3,
+        lr=3e-3,
+    )
+    return res, logs
+
+
+@pytest.mark.parametrize("shuffle,use_cls,limit", [
+    (True, False, None),
+    (False, True, None),
+    (True, False, 2),
+])
+def test_device_fit_matches_host_loop(shuffle, use_cls, limit):
+    r_host, logs_h = _tiny_stage("host", shuffle=shuffle,
+                                 use_class_labels=use_cls, limit=limit)
+    r_dev, logs_d = _tiny_stage("device", shuffle=shuffle,
+                                use_class_labels=use_cls, limit=limit)
+
+    assert r_host.epochs_run == r_dev.epochs_run
+    assert r_host.best_epoch == r_dev.best_epoch
+    np.testing.assert_allclose(r_dev.train_losses, r_host.train_losses, rtol=2e-5)
+    np.testing.assert_allclose(r_dev.val_losses, r_host.val_losses, rtol=2e-5)
+    assert abs(r_dev.best_val_loss - r_host.best_val_loss) < 1e-5 * max(
+        1.0, abs(r_host.best_val_loss)
+    )
+    # parameter trajectories must coincide (XLA scheduling noise only)
+    for leaf_d, leaf_h in zip(
+        jax.tree_util.tree_leaves(r_dev.state.params),
+        jax.tree_util.tree_leaves(r_host.state.params),
+    ):
+        assert _rel(leaf_d, leaf_h) < 1e-4
+    for leaf_d, leaf_h in zip(
+        jax.tree_util.tree_leaves(r_dev.best_params),
+        jax.tree_util.tree_leaves(r_host.best_params),
+    ):
+        assert _rel(leaf_d, leaf_h) < 1e-4
+    # per-epoch logs replayed with the same schema and values
+    assert [l["epoch"] for l in logs_d] == [l["epoch"] for l in logs_h]
+    for ld, lh in zip(logs_d, logs_h):
+        for k in ("train_loss", "val_loss", "train_mse", "train_kl", "lr"):
+            assert abs(ld[k] - lh[k]) <= 2e-5 * max(1.0, abs(lh[k])), (k, ld, lh)
+
+
+def test_device_fit_early_stop_matches_host():
+    # patience small enough that the stop fires mid-run; both paths must stop
+    # at the same epoch with the same best snapshot
+    r_host, _ = _tiny_stage("host", max_epochs=12, patience=2)
+    r_dev, _ = _tiny_stage("device", max_epochs=12, patience=2)
+    assert r_host.epochs_run == r_dev.epochs_run
+    assert r_host.best_epoch == r_dev.best_epoch
+    np.testing.assert_allclose(r_dev.val_losses, r_host.val_losses, rtol=2e-5)
+
+
+def test_device_fit_zero_epochs():
+    r_dev, logs = _tiny_stage("device", max_epochs=0)
+    assert r_dev.epochs_run == 0 and r_dev.best_epoch == -1
+    assert logs == []
+    assert r_dev.best_params is r_dev.state.params
+
+
+def test_device_fit_multimodal_smoke():
+    cfg = pipeline.PipelineConfig(verbose=False, fit_loop="device")
+    rng = np.random.default_rng(5)
+    n = 36
+    wave = jnp.asarray(rng.normal(size=(n, 50)).astype(np.float32))
+    isi = jnp.asarray(rng.normal(size=(n, 100)).astype(np.float32))
+    source = jnp.zeros((n,), jnp.int32)
+    class_ = jnp.zeros((n,), jnp.int32)
+    cfg_m = cvae.MultiModalConfig(z_dim=4, num_blocks=(1, 1, 1, 1))
+    params, bn = cvae.multimodal_cvae_init(jax.random.PRNGKey(2), cfg_m)
+    tx = optim.make_optimizer(1e-3, 0.01, clip_val=1.0)
+    ts = step.TrainState(params, bn, tx.init(params))
+    res = pipeline._fit_multimodal_stage(
+        cfg=cfg, ts=ts, tx=tx, wave=wave, isi=isi, source=source, class_=class_,
+        train_indices=np.arange(28), val_indices=np.arange(28, n),
+        batch_size=16, max_epochs=2, use_class_labels=False, shuffle_train=True,
+        stage_seed=9,
+    )
+    assert res.epochs_run == 2
+    assert np.isfinite(res.train_losses).all() and np.isfinite(res.val_losses).all()

@@ -205,10 +205,12 @@ def test_enc_block_masked_stats():
     assert _rel(new_s["bn1"]["running_mean"], ref_s["bn1"]["running_mean"]) < 2e-2
 
 
-def test_full_model_fused_backend_trains():
-    """unimodal_cvae_apply(backend='pallas') must give the same training
+@pytest.mark.parametrize("fast_backend", ["pallas", "bf16"])
+def test_full_model_fused_backend_trains(fast_backend):
+    """unimodal_cvae_apply(backend='pallas'/'bf16') must give the same training
     signal as XLA: matching loss, closely aligned full-gradient direction,
-    and a matching short-training loss trajectory."""
+    and a matching short-training loss trajectory. 'bf16' is the standard-ops
+    mixed-precision path (bfloat16 block activations, fp32 BN statistics)."""
     import optax
 
     rng = np.random.default_rng(10)
@@ -225,7 +227,7 @@ def test_full_model_fused_backend_trains():
 
     key = jax.random.PRNGKey(0)
     (l_ref, _), g_ref = jax.value_and_grad(loss, has_aux=True)(p0, s0, "xla", key)
-    (l_f, _), g_f = jax.value_and_grad(loss, has_aux=True)(p0, s0, "pallas", key)
+    (l_f, _), g_f = jax.value_and_grad(loss, has_aux=True)(p0, s0, fast_backend, key)
     assert abs(float(l_f) - float(l_ref)) / abs(float(l_ref)) < 5e-2
 
     # full-gradient direction must agree closely (leaf-wise relative error is
@@ -237,7 +239,10 @@ def test_full_model_fused_backend_trains():
         np.asarray(l, np.float64).ravel() for l in jax.tree_util.tree_leaves(g_f)
     ])
     cos = float(cat_r @ cat_f / (np.linalg.norm(cat_r) * np.linalg.norm(cat_f)))
-    assert cos > 0.97, cos
+    # 'bf16' autodiffs through bf16-rounded activations everywhere, so its
+    # grad-direction noise floor is slightly higher than the fused path's
+    # (which keeps BN normalization/affine chains in fp32 registers).
+    assert cos > (0.95 if fast_backend == "bf16" else 0.97), cos
 
     # 10 Adam steps with each backend: trajectories must track each other
     def train(backend):
@@ -255,5 +260,5 @@ def test_full_model_fused_backend_trains():
         return last
 
     l_xla = train("xla")
-    l_pal = train("pallas")
+    l_pal = train(fast_backend)
     assert abs(l_pal - l_xla) / abs(l_xla) < 0.1, (l_pal, l_xla)
