@@ -52,7 +52,8 @@ _COLS = ("train_loss", "val_loss", "train_mse", "train_kl", "val_mse", "val_kl")
 
 
 def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
-               batch_size: int, nb_pad: int, plan_sharding=None):
+               batch_size: int, nb_pad: int, plan_sharding=None,
+               eval_params_fn=None):
     """The jitted whole-fit program over a tuple of data arrays.
 
     Static configuration (baked at trace time): ``shuffle``,
@@ -121,10 +122,13 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
 
             # ---- val epoch --------------------------------------------------
             vkeys = jax.random.split(vkey, nb_val)
+            # schedule-free evaluates at the averaged x iterate (optim.
+            # maybe_eval_params); identity for plain AdamW.
+            vparams = eval_params_fn(ts) if eval_params_fn is not None else ts.params
 
             def vb(i, acc):
                 m = eval_step(
-                    ts.params, ts.bn_state, *(g[i] for g in v_arrays), v_src[i],
+                    vparams, ts.bn_state, *(g[i] for g in v_arrays), v_src[i],
                     v_cls[i] if use_class_labels else None, v_mask[i], vkeys[i],
                 )
                 return (acc[0] + m.loss, acc[1] + m.mse, acc[2] + m.kl)
@@ -186,6 +190,7 @@ def device_fit(
     shuffle: bool,
     limit_train_batches=None,
     plan_sharding=None,
+    eval_params_fn=None,
     log_fn=None,
     verbose: bool = True,
     lr: Optional[float] = None,
@@ -222,6 +227,7 @@ def device_fit(
         batch_step, eval_step,
         use_class_labels=use_class_labels, shuffle=shuffle,
         batch_size=batch_size, nb_pad=nb_pad, plan_sharding=plan_sharding,
+        eval_params_fn=eval_params_fn,
     )
     (final_ts, best_params, best_bn, best_opt, scalars, buf) = fit(
         ts, tuple(arrays), source, class_, jnp.asarray(stream_p),

@@ -31,6 +31,7 @@ def make_optimizer(
     weight_decay: float = 0.01,
     clip_val: Optional[float] = None,
     state_dtype: Optional[str] = None,
+    algorithm: str = "adamw",
 ) -> optax.GradientTransformation:
     """AdamW(+ optional global-norm clipping) matching torch/Lightning.
 
@@ -39,19 +40,34 @@ def make_optimizer(
     of fp32 state traffic at 8M params, RESULTS.md), so halving the moment
     bytes buys ~10% of the train step. Opt-in: the EMA accumulates bf16
     rounding, so trajectories drift slightly from the torch-exact default.
+
+    ``algorithm='schedule-free'`` swaps in the working schedule-free AdamW
+    (train/schedule_free.py — the reference vendors but never instantiates
+    it, quirk Q9). Callers must evaluate/checkpoint at the averaged x iterate
+    (``maybe_eval_params``); the pipeline wires this automatically.
     """
     chain = []
     if clip_val is not None:
         chain.append(optax.clip_by_global_norm(clip_val))
 
     def _factory(learning_rate):
-        tx = optax.adamw(
-            learning_rate=learning_rate,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=weight_decay,
-        )
+        if algorithm == "schedule-free":
+            from hippie_tpu.train.schedule_free import adamw_schedule_free
+
+            # state_dtype is deliberately NOT applied here: the z iterate is
+            # a parameter-scale accumulator; bf16 storage would corrupt it.
+            return adamw_schedule_free(
+                learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=weight_decay,
+            )
+        else:
+            tx = optax.adamw(
+                learning_rate=learning_rate,
+                b1=0.9,
+                b2=0.999,
+                eps=1e-8,
+                weight_decay=weight_decay,
+            )
         if state_dtype is not None:
             tx = cast_state_dtype(tx, jnp.dtype(state_dtype))
         return tx
@@ -208,3 +224,40 @@ def adamw_state_from_torch(
         count=jnp.asarray(step, dtype=adam.count.dtype), mu=new_mu, nu=new_nu
     )
     return _replace_adam_state(opt_state, new_adam)
+
+
+def find_schedule_free_state(opt_state):
+    """Locate a ScheduleFreeState inside an optax chain state, else None."""
+    found = []
+
+    def visit(node):
+        if hasattr(node, "z") and hasattr(node, "weight_sum") and hasattr(node, "exp_avg_sq"):
+            found.append(node)
+            return
+        if hasattr(node, "inner_state"):  # InjectHyperparamsState
+            visit(node.inner_state)
+            return
+        if isinstance(node, (tuple, list)):
+            for child in node:
+                visit(child)
+
+    visit(opt_state)
+    return found[0] if found else None
+
+
+def maybe_eval_params(opt_state, params):
+    """Params to EVALUATE/CHECKPOINT at: the averaged x iterate when the
+    optimizer is schedule-free (the reference's .eval() mode switch,
+    optimizers.py:82-92), otherwise ``params`` unchanged. Traceable."""
+    sf = find_schedule_free_state(opt_state)
+    if sf is None:
+        return params
+    from hippie_tpu.train.schedule_free import eval_params
+
+    return eval_params(sf, params)
+
+
+# One jitted dispatch per call (the host fit loop uses this per epoch; eager
+# per-leaf lerps would pay a device round trip per parameter on remote
+# backends). Structure (sf-present or not) is a static trace property.
+eval_params_jit = jax.jit(maybe_eval_params)

@@ -107,6 +107,13 @@ class PipelineConfig:
     # params/data replicated, batch plans sharded on the batch axis, gradient
     # all-reduce inserted by GSPMD. None = single-device.
     dp_devices: Optional[int] = None
+    # Optimizer algorithm: "adamw" (reference contract, torch-exact) or
+    # "schedule-free" (train/schedule_free.py — the reference vendors Meta's
+    # AdamWScheduleFree but never instantiates it, quirk Q9; here it is a
+    # working option: validation/checkpoints/embeddings automatically use the
+    # averaged x iterate, and the Lightning ckpt omits optimizer_states since
+    # the schedule-free state has no torch-AdamW layout).
+    optimizer: str = "adamw"
     # Stage-fit execution: "device" (default) runs the whole fit — epochs,
     # validation, early stopping, best-ckpt snapshot — as ONE jitted
     # lax.while_loop (train/device_fit.py; zero per-epoch host round trips,
@@ -224,9 +231,14 @@ class BestTracker:
         if self._pending is None:
             return
         opt_state, params_template, lr, wd = self._pending
-        best_opt_torch = optim.adamw_state_to_torch(
-            opt_state, self.best_params, self.best_bn, lr=lr, weight_decay=wd
-        )
+        try:
+            best_opt_torch = optim.adamw_state_to_torch(
+                opt_state, self.best_params, self.best_bn, lr=lr, weight_decay=wd
+            )
+        except ValueError:
+            # schedule-free state has no torch-AdamW layout; the ckpt carries
+            # model weights (x iterate) only — empty optimizer_states.
+            best_opt_torch = None
         ordered_p = ckpt_mod.reorder_like(params_template[0], self.best_params)
         ordered_s = ckpt_mod.reorder_like(params_template[1], self.best_bn)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
@@ -234,6 +246,32 @@ class BestTracker:
             self.path, ordered_p, ordered_s, optimizer_state=best_opt_torch
         )
         self._pending = None
+
+
+def _eval_params_fn(cfg: PipelineConfig):
+    """device_fit hook: schedule-free evaluates at the averaged x iterate."""
+    if cfg.optimizer != "schedule-free":
+        return None
+    return lambda ts: optim.maybe_eval_params(ts.opt_state, ts.params)
+
+
+def _finalize_fit(cfg: PipelineConfig, result: loop.FitResult) -> loop.FitResult:
+    """Post-fit param convention: with schedule-free, everything downstream of
+    a fit (checkpoints, embeddings, stage handoffs) consumes the averaged x
+    iterate — the reference's .eval() mode switch (optimizers.py:82-92) —
+    so convert best/final params once here. Identity for AdamW."""
+    if cfg.optimizer != "schedule-free":
+        return result
+    import dataclasses
+
+    best_p = (optim.eval_params_jit(result.best_opt_state, result.best_params)
+              if result.best_opt_state is not None else result.best_params)
+    final_p = optim.eval_params_jit(result.state.opt_state, result.state.params)
+    return dataclasses.replace(
+        result,
+        best_params=best_p,
+        state=step.TrainState(final_p, result.state.bn_state, result.state.opt_state),
+    )
 
 
 def _fit_unimodal_stage(
@@ -303,7 +341,7 @@ def _fit_unimodal_stage(
         batch_step, eval_step = step.make_unimodal_steps(
             tx, beta=beta, loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
         )
-        return dfit.device_fit(
+        return _finalize_fit(cfg, dfit.device_fit(
             ts,
             batch_step=batch_step, eval_step=eval_step,
             arrays=(data,), source=source, class_=class_,
@@ -315,8 +353,9 @@ def _fit_unimodal_stage(
             use_class_labels=use_class_labels, shuffle=shuffle_train,
             limit_train_batches=cfg.limit_train_batches,
             plan_sharding=plan_sharding,
+            eval_params_fn=_eval_params_fn(cfg),
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
-        )
+        ))
 
     def run_train(state, key, epoch):
         # Same canonical bucketed plan as device_fit generates in-device, so
@@ -332,12 +371,14 @@ def _fit_unimodal_stage(
         )
 
     def run_val(state, key, epoch):
+        vp = (optim.eval_params_jit(state.opt_state, state.params)
+              if cfg.optimizer == "schedule-free" else state.params)
         return eval_epoch(
-            state.params, state.bn_state, data, source, class_, val_idx, val_mask,
+            vp, state.bn_state, data, source, class_, val_idx, val_mask,
             key, val_nb,
         )
 
-    return loop.fit(
+    return _finalize_fit(cfg, loop.fit(
         ts,
         run_train_epoch=run_train,
         run_val_epoch=run_val,
@@ -348,7 +389,7 @@ def _fit_unimodal_stage(
         log_fn=cfg.log_fn,
         resume_dir=resume_dir,
         lr=lr,
-    )
+    ))
 
 
 def _fit_multimodal_stage(
@@ -419,7 +460,7 @@ def _fit_multimodal_stage(
             tx, beta=cfg.beta, mod1_weight=cfg.mod1_weight, mod2_weight=cfg.mod2_weight,
             loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
         )
-        return dfit.device_fit(
+        return _finalize_fit(cfg, dfit.device_fit(
             ts,
             batch_step=batch_step, eval_step=eval_step,
             arrays=(wave, isi), source=source, class_=class_,
@@ -431,8 +472,9 @@ def _fit_multimodal_stage(
             use_class_labels=use_class_labels, shuffle=shuffle_train,
             limit_train_batches=cfg.limit_train_batches,
             plan_sharding=plan_sharding,
+            eval_params_fn=_eval_params_fn(cfg),
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
-        )
+        ))
 
     def run_train(state, key, epoch):
         # Same canonical bucketed plan as device_fit generates in-device, so
@@ -448,12 +490,14 @@ def _fit_multimodal_stage(
         )
 
     def run_val(state, key, epoch):
+        vp = (optim.eval_params_jit(state.opt_state, state.params)
+              if cfg.optimizer == "schedule-free" else state.params)
         return eval_epoch(
-            state.params, state.bn_state, wave, isi, source, class_, val_idx, val_mask,
+            vp, state.bn_state, wave, isi, source, class_, val_idx, val_mask,
             key, val_nb,
         )
 
-    return loop.fit(
+    return _finalize_fit(cfg, loop.fit(
         ts,
         run_train_epoch=run_train,
         run_val_epoch=run_val,
@@ -464,7 +508,7 @@ def _fit_multimodal_stage(
         log_fn=cfg.log_fn,
         resume_dir=resume_dir,
         lr=lr,
-    )
+    ))
 
 
 def _finetune_split_indices(cfg: PipelineConfig, n: int, key) -> Tuple[np.ndarray, np.ndarray]:
@@ -563,7 +607,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         with timer.stage("setup"):
             params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
             templates[modality] = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
-            tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype)
+            tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
             ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
         if cfg.verbose:
@@ -602,7 +646,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         for mi, modality in enumerate(("wave", "time")):
             data = target.wave if modality == "wave" else target.isi
             clip = None if modality == "wave" else cfg.gradient_clip_val
-            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype)
+            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
             st = states[modality]
             ts = _fork_state(st.params, st.bn_state, tx)
             if cfg.verbose:
@@ -674,7 +718,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 loaded["state_dict"], template[0], template[1],
                 drop_keys=("class_embedding.weight",),
             )
-            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
+            tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
             ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         stream = sampling.balanced_indices(label_train, seed=cfg.seed)
         train_stream = np.asarray(s_tr)[stream]
@@ -804,7 +848,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     )
     template = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
     params, bn = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
-    tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
+    tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
     ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
     tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_joint_model.ckpt"))
 
@@ -838,7 +882,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     ft_lr = cfg.learning_rate / 10.0
     if cfg.finetune_without_labels:
         ft_tr, ft_va = _finetune_split_indices(cfg, len(target), jax.random.fold_in(root, 1))
-        tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
+        tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
         ts = _fork_state(state.params, state.bn_state, tx)
         if cfg.verbose:
             print(f"[stage 2] fine-tuning joint model on {cfg.dataset} (lr={ft_lr})")
@@ -891,7 +935,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     params, bn, _, _ = ckpt_mod.from_torch_state_dict(
         loaded["state_dict"], template[0], template[1], drop_keys=("class_embedding.weight",)
     )
-    tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype)
+    tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
     ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
     stream = sampling.balanced_indices(label_train, seed=cfg.seed)
     train_stream = np.asarray(s_tr)[stream]

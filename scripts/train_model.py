@@ -74,6 +74,10 @@ def build_parser():
                              "(live prints; used automatically with --resume)")
     parser.add_argument("--opt-state-dtype", choices=("float32", "bfloat16"), default="float32",
                         help="Adam moment storage dtype; bfloat16 halves optimizer HBM traffic")
+    parser.add_argument("--optimizer", choices=("adamw", "schedule-free"), default="adamw",
+                        help="'schedule-free' enables the working AdamWScheduleFree (the "
+                             "reference vendors but never uses it); eval/ckpts/embeddings "
+                             "use the averaged x iterate, ckpts omit optimizer_states")
     parser.add_argument("--block-backend", choices=("xla", "bf16", "fused", "pallas"), default="xla",
                         help="backbone block kernels for training steps: 'bf16' = "
                              "standard XLA ops with bfloat16 block activations (fp32 BN stats), "
@@ -141,6 +145,7 @@ def run(args, model_type: str = "unimodal"):
                          else args.opt_state_dtype),
         dp_devices=getattr(args, "dp_devices", None),
         fit_loop=getattr(args, "fit_loop", "device"),
+        optimizer=getattr(args, "optimizer", "adamw"),
         log_fn=log_fn,
     )
 

@@ -23,10 +23,10 @@ def _rel(a, b):
 
 
 def _tiny_stage(fit_loop, *, max_epochs=5, patience=None, shuffle=True,
-                use_class_labels=False, limit=None, seed=7):
+                use_class_labels=False, limit=None, seed=7, optimizer="adamw"):
     cfg = pipeline.PipelineConfig(
         verbose=False, fit_loop=fit_loop, early_stopping_patience=patience,
-        limit_train_batches=limit, seed=seed,
+        limit_train_batches=limit, seed=seed, optimizer=optimizer,
     )
     rng = np.random.default_rng(0)
     n = 52
@@ -35,7 +35,7 @@ def _tiny_stage(fit_loop, *, max_epochs=5, patience=None, shuffle=True,
     class_ = jnp.asarray(rng.integers(0, 3, size=n).astype(np.int32))
     cfg_m = cvae.CVAEConfig(z_dim=4, output_size=50, num_classes=3, num_blocks=(1, 1, 1, 1))
     params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(1), cfg_m)
-    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0, algorithm=optimizer)
     ts = step.TrainState(params, bn, tx.init(params))
     logs = []
     cfg = dataclasses.replace(cfg, log_fn=logs.append)
@@ -122,3 +122,35 @@ def test_device_fit_multimodal_smoke():
     )
     assert res.epochs_run == 2
     assert np.isfinite(res.train_losses).all() and np.isfinite(res.val_losses).all()
+
+
+def test_schedule_free_stage_host_device_parity():
+    """--optimizer schedule-free: both fit loops run, evaluate at the averaged
+    x iterate, and stay on one trajectory; returned params ARE the x iterate
+    (differ from a plain-AdamW run's)."""
+    r_host, _ = _tiny_stage("host", optimizer="schedule-free")
+    r_dev, _ = _tiny_stage("device", optimizer="schedule-free")
+    assert r_host.epochs_run == r_dev.epochs_run == 5
+    np.testing.assert_allclose(r_dev.val_losses, r_host.val_losses, rtol=2e-5)
+    for leaf_d, leaf_h in zip(
+        jax.tree_util.tree_leaves(r_dev.best_params),
+        jax.tree_util.tree_leaves(r_host.best_params),
+    ):
+        assert _rel(leaf_d, leaf_h) < 1e-4
+
+    # the optimizer really engaged: its step count equals epochs * batches
+    sf = optim.find_schedule_free_state(r_dev.state.opt_state)
+    assert sf is not None
+    assert int(sf.k) == 5 * 3  # 5 epochs x ceil(40/16) batches
+    # the finalized params were converted (eval_params is not identity, so
+    # re-applying it to the already-converted params must change them)
+    again = optim.eval_params_jit(r_dev.state.opt_state, r_dev.state.params)
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(again),
+                        jax.tree_util.tree_leaves(r_dev.state.params))
+    ]
+    assert max(diffs) > 0.0
+
+    r_adam, _ = _tiny_stage("device", optimizer="adamw")
+    assert abs(r_adam.val_losses[-1] - r_dev.val_losses[-1]) > 1e-8
