@@ -63,6 +63,28 @@ def infer_unimodal_config(state_dict: dict) -> cvae.CVAEConfig:
     )
 
 
+def infer_multimodal_config(state_dict: dict) -> cvae.MultiModalConfig:
+    """Geometry of a joint MultiModalCVAE checkpoint (model.py:350-395)."""
+    z_dim = int(state_dict["model.z_mean.weight"].shape[0])
+    num_classes, h = (int(x) for x in state_dict["model.class_embedding.weight"].shape)
+    num_sources = int(state_dict["model.source_embedding.weight"].shape[0])
+    out_wave = int(state_dict["model.decoder_mod1.linear_out.weight"].shape[0])
+    out_isi = int(state_dict["model.decoder_mod2.linear_out.weight"].shape[0])
+    blocks = []
+    for li in (1, 2, 3, 4):
+        idxs = {
+            int(k.split(".")[3])
+            for k in state_dict
+            if k.startswith(f"model.encoder_mod1.layer{li}.")
+        }
+        blocks.append(len(idxs))
+    return cvae.MultiModalConfig(
+        z_dim=z_dim, output_size_wave=out_wave, output_size_isi=out_isi,
+        class_hidden_dim=h, num_sources=num_sources, num_classes=num_classes,
+        num_blocks=tuple(blocks),
+    )
+
+
 def _embedder(params, bn_state, multimodal: bool):
     if multimodal:
         def embed(wave, isi, source):
@@ -145,15 +167,28 @@ def export_from_checkpoint(
 
     loaded = ckpt_mod.load_lightning_ckpt(ckpt_path)
     sd = loaded["state_dict"]
-    cfg_m = infer_unimodal_config(sd)
-    template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
-    params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
-    blob = export_embedder(
-        params, bn, input_len=cfg_m.output_size, platforms=platforms
-    )
+    multimodal = any(k.startswith("model.encoder_mod1.") for k in sd)
+    if multimodal:
+        cfg_m = infer_multimodal_config(sd)
+        template = cvae.multimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
+        params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
+        blob = export_embedder(
+            params, bn,
+            input_lens=(cfg_m.output_size_wave, cfg_m.output_size_isi),
+            platforms=platforms,
+        )
+        geometry = {"modality": "multimodal",
+                    "input_lens": [cfg_m.output_size_wave, cfg_m.output_size_isi]}
+    else:
+        cfg_m = infer_unimodal_config(sd)
+        template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
+        params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
+        blob = export_embedder(
+            params, bn, input_len=cfg_m.output_size, platforms=platforms
+        )
+        geometry = {"modality": "unimodal", "input_len": cfg_m.output_size}
     manifest = {
-        "modality": "unimodal",
-        "input_len": cfg_m.output_size,
+        **geometry,
         "z_dim": cfg_m.z_dim,
         "num_sources": cfg_m.num_sources,
         "num_classes": cfg_m.num_classes,

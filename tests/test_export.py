@@ -86,3 +86,26 @@ def test_export_cli(small_model, tmp_path, capsys):
     mod.main(["--checkpoint", str(ckpt), "--output", str(out), "--platforms", "cpu"])
     assert out.exists()
     assert "exported" in capsys.readouterr().out
+
+
+def test_export_from_multimodal_checkpoint(tmp_path):
+    from hippie_tpu.train import checkpoint as ckpt_mod
+
+    cfg_m = cvae.MultiModalConfig(z_dim=4, num_blocks=(1, 1, 1, 1))
+    params, bn = cvae.multimodal_cvae_init(jax.random.PRNGKey(5), cfg_m)
+    ckpt = tmp_path / "mm.ckpt"
+    ckpt_mod.save_lightning_ckpt(str(ckpt), params, bn)
+    out = tmp_path / "mm.hippie"
+    manifest = hexport.export_from_checkpoint(str(ckpt), str(out), platforms=("cpu",))
+    assert manifest["modality"] == "multimodal"
+    assert manifest["input_lens"] == [50, 100]
+
+    call, _ = hexport.load_artifact(str(out))
+    rng = np.random.default_rng(6)
+    wave = rng.normal(size=(4, 50)).astype(np.float32)
+    isi = rng.normal(size=(4, 100)).astype(np.float32)
+    src = np.zeros((4,), np.int32)
+    want = np.asarray(emb.embed_multimodal(
+        params, bn, jnp.asarray(wave), jnp.asarray(isi), jnp.asarray(src)
+    ))
+    np.testing.assert_allclose(call(wave, isi, src), want, rtol=1e-5, atol=1e-6)
