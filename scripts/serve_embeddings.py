@@ -39,8 +39,12 @@ import numpy as np
 def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--z_dim", type=int, default=10)
-    parser.add_argument("--wave-checkpoint", type=str, required=True)
-    parser.add_argument("--time-checkpoint", type=str, required=True)
+    parser.add_argument("--wave-checkpoint", type=str, default=None)
+    parser.add_argument("--time-checkpoint", type=str, default=None)
+    parser.add_argument("--wave-artifact", type=str, default=None,
+                        help="exported .hippie artifact (scripts/export_model.py) "
+                             "instead of --wave-checkpoint: no torch, no retrace")
+    parser.add_argument("--time-artifact", type=str, default=None)
     parser.add_argument("--num-sources", type=int, default=5)
     parser.add_argument("--num-classes", type=int, default=5)
     parser.add_argument("--host", type=str, default="127.0.0.1")
@@ -53,8 +57,9 @@ def build_parser():
 class EmbeddingService:
     """Checkpoint-backed embedding engine shared by all server threads."""
 
-    def __init__(self, wave_ckpt: str, time_ckpt: str, *, z_dim: int,
-                 num_sources: int = 5, num_classes: int = 5):
+    def __init__(self, wave_ckpt=None, time_ckpt=None, *, z_dim: int,
+                 num_sources: int = 5, num_classes: int = 5,
+                 wave_artifact=None, time_artifact=None):
         from hippie_tpu.utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -69,16 +74,37 @@ class EmbeddingService:
         self.rows_embedded = 0
         self.total_latency = 0.0
 
-        self.trees = {}
-        for name, out_size, path in (("wave", 50, wave_ckpt), ("time", 100, time_ckpt)):
-            cfg = cvae.CVAEConfig(z_dim=z_dim, output_size=out_size, class_hidden_dim=5,
-                                  num_sources=num_sources, num_classes=num_classes)
-            template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
-            payload = ckpt_mod.load_lightning_ckpt(path)
-            params, bn, _, _ = ckpt_mod.from_torch_state_dict(
-                payload["state_dict"], template[0], template[1]
-            )
-            self.trees[name] = (params, bn)
+        # Each modality is served either from a Lightning checkpoint (library
+        # embed path) or from an exported StableHLO artifact (hippie_tpu.
+        # export — already traced/lowered, symbolic batch, no torch needed).
+        self._embed_fns = {}
+        for name, out_size, ckpt, artifact in (
+            ("wave", 50, wave_ckpt, wave_artifact),
+            ("time", 100, time_ckpt, time_artifact),
+        ):
+            if artifact is not None:
+                from hippie_tpu import export as hexport
+
+                call, manifest = hexport.load_artifact(artifact)
+                self.z_dim = int(manifest.get("z_dim", self.z_dim))
+                self._embed_fns[name] = lambda data, src, call=call: call(data, src)
+            elif ckpt is not None:
+                cfg = cvae.CVAEConfig(z_dim=z_dim, output_size=out_size, class_hidden_dim=5,
+                                      num_sources=num_sources, num_classes=num_classes)
+                template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+                payload = ckpt_mod.load_lightning_ckpt(ckpt)
+                params, bn, _, _ = ckpt_mod.from_torch_state_dict(
+                    payload["state_dict"], template[0], template[1]
+                )
+
+                def _lib_embed(data, src, params=params, bn=bn):
+                    from hippie_tpu.evaluate import embeddings as emb
+
+                    return np.asarray(emb.embed_unimodal(params, bn, data, src))
+
+                self._embed_fns[name] = _lib_embed
+            else:
+                raise ValueError(f"provide --{name}-checkpoint or --{name}-artifact")
 
     def warmup(self, rows: int):
         if rows > 0:
@@ -87,14 +113,15 @@ class EmbeddingService:
     def embed(self, waveforms: np.ndarray, isi_dists: np.ndarray, source: int, normalize: bool):
         import jax.numpy as jnp
 
-        from hippie_tpu.evaluate import embeddings as emb
         from hippie_tpu.ops import preprocess
 
         t0 = time.perf_counter()
         wave = preprocess.preprocess_waveforms(jnp.asarray(waveforms, jnp.float32), normalize=normalize)
         isi = preprocess.preprocess_isi(jnp.asarray(isi_dists, jnp.float32), normalize=normalize)
         src = jnp.full((wave.shape[0],), int(source), jnp.int32)
-        w, i, j = emb.get_embeddings(self.trees["wave"], self.trees["time"], wave, isi, src)
+        w = np.asarray(self._embed_fns["wave"](wave, src))
+        i = np.asarray(self._embed_fns["time"](isi, src))
+        j = np.concatenate([w, i], axis=1)
         dt = time.perf_counter() - t0
         with self._lock:
             self.requests += 1
@@ -166,6 +193,7 @@ def main(argv=None):
     service = EmbeddingService(
         args.wave_checkpoint, args.time_checkpoint,
         z_dim=args.z_dim, num_sources=args.num_sources, num_classes=args.num_classes,
+        wave_artifact=args.wave_artifact, time_artifact=args.time_artifact,
     )
     print("warming up...")
     service.warmup(args.warmup_rows)

@@ -85,3 +85,48 @@ def test_embed_bad_requests(server):
     assert status == 400
     status, payload = _request(addr, "GET", "/nope")
     assert status == 404
+
+
+def test_service_from_artifacts(tmp_path):
+    """--wave-artifact/--time-artifact serve exported StableHLO models with
+    embeddings identical to the checkpoint-backed path."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import serve_embeddings as se
+
+    from hippie_tpu import export as hexport
+
+    trees = {}
+    for name, out in (("wave", 50), ("time", 100)):
+        cfg = cvae.CVAEConfig(z_dim=4, output_size=out, num_blocks=(1, 1, 1, 1))
+        p, s = cvae.unimodal_cvae_init(jax.random.PRNGKey(out), cfg)
+        trees[name] = (p, s)
+        blob = hexport.export_embedder(p, s, input_len=out, platforms=("cpu",))
+        hexport.save_artifact(str(tmp_path / f"{name}.hippie"), blob,
+                              {"modality": "unimodal", "z_dim": 4})
+
+    service = se.EmbeddingService(
+        z_dim=4,
+        wave_artifact=str(tmp_path / "wave.hippie"),
+        time_artifact=str(tmp_path / "time.hippie"),
+    )
+    assert service.z_dim == 4
+    rng = np.random.default_rng(0)
+    wf = rng.normal(size=(5, 46)).astype(np.float32)
+    isi = rng.uniform(0, 9, size=(5, 100)).astype(np.float32)
+    w, i, j, _ = service.embed(wf, isi, 0, False)
+    assert w.shape == (5, 4) and i.shape == (5, 4) and j.shape == (5, 8)
+
+    # parity vs the library embed path on the same preprocessed inputs
+    import jax.numpy as jnp
+    from hippie_tpu.evaluate import embeddings as emb
+    from hippie_tpu.ops import preprocess
+
+    wave_p = preprocess.preprocess_waveforms(jnp.asarray(wf), normalize=False)
+    isi_p = preprocess.preprocess_isi(jnp.asarray(isi), normalize=False)
+    src = jnp.zeros((5,), jnp.int32)
+    want_w = np.asarray(emb.embed_unimodal(*trees["wave"], wave_p, src))
+    want_i = np.asarray(emb.embed_unimodal(*trees["time"], isi_p, src))
+    np.testing.assert_allclose(w, want_w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(i, want_i, rtol=1e-5, atol=1e-6)
