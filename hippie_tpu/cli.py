@@ -14,11 +14,12 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(
-            "usage: hippie-tpu {train,train-multimodal,infer,serve,bench} [args...]\n"
+            "usage: hippie-tpu {train,train-multimodal,infer,serve,export,synth,bench} [args...]\n"
             "  train            3-stage unimodal pipeline (scripts/train_model.py flags)\n"
             "  train-multimodal unimodal-or-joint pipeline (--model-type multimodal)\n"
             "  infer            dual-checkpoint embedding export (+ --cluster k)\n"
             "  serve            HTTP embedding microservice (POST /embed)\n"
+            "  export           checkpoint -> deployable StableHLO artifact\n"
             "  synth            generate a synthetic dataset in the CSV contract\n"
             "  bench            print the headline throughput benchmark JSON line"
         )
@@ -43,6 +44,10 @@ def main(argv=None):
         m.main(rest)
     elif cmd == "serve":
         import serve_embeddings as m
+
+        m.main(rest)
+    elif cmd == "export":
+        import export_model as m
 
         m.main(rest)
     elif cmd == "synth":
