@@ -191,6 +191,8 @@ def device_fit(
     limit_train_batches=None,
     plan_sharding=None,
     eval_params_fn=None,
+    aot_dir: Optional[str] = None,
+    aot_desc: str = "",
     log_fn=None,
     verbose: bool = True,
     lr: Optional[float] = None,
@@ -229,13 +231,20 @@ def device_fit(
         batch_size=batch_size, nb_pad=nb_pad, plan_sharding=plan_sharding,
         eval_params_fn=eval_params_fn,
     )
-    (final_ts, best_params, best_bn, best_opt, scalars, buf) = fit(
+    fit_args = (
         ts, tuple(arrays), source, class_, jnp.asarray(stream_p),
         jnp.asarray(n_real, jnp.int32), jnp.asarray(n_keep, jnp.int32),
         val_idx, val_mask, val_nb,
         jax.random.PRNGKey(seed), jnp.asarray(max_epochs, jnp.int32),
         jnp.asarray(patience, jnp.int32), buf,
     )
+    if aot_dir is not None and plan_sharding is None:
+        static_desc = f"{aot_desc}|ucl={use_class_labels}|sh={shuffle}|B={batch_size}|nb={nb_pad}"
+        (final_ts, best_params, best_bn, best_opt, scalars, buf) = _aot_call(
+            fit, fit_args, aot_dir, static_desc
+        )
+    else:
+        (final_ts, best_params, best_bn, best_opt, scalars, buf) = fit(*fit_args)
     # ONE host fetch for the loop outcome; model/optimizer states stay on device.
     (epochs_run, best_val, best_epoch, diverged), buf_h = jax.device_get(
         (scalars, buf)
@@ -279,3 +288,76 @@ def device_fit(
         train_losses=[float(r[0]) for r in rows],
         val_losses=[float(r[1]) for r in rows],
     )
+
+
+# ---------------------------------------------------------------------------
+# AOT program cache (jax.export) — skip per-process trace/lowering
+# ---------------------------------------------------------------------------
+
+_REGISTERED_NT: set = set()
+
+
+def _register_io_namedtuples(tree) -> None:
+    """Register every namedtuple type in a pytree for jax.export
+    serialization (names are module.qualname — stable across processes)."""
+    from jax import export as jexport
+
+    def visit(obj):
+        t = type(obj)
+        if hasattr(t, "_fields"):
+            if t not in _REGISTERED_NT:
+                _REGISTERED_NT.add(t)
+                try:
+                    jexport.register_namedtuple_serialization(
+                        t, serialized_name=f"{t.__module__}.{t.__qualname__}"
+                    )
+                except ValueError:
+                    pass  # registered elsewhere
+            for f in obj._fields:
+                visit(getattr(obj, f))
+        elif isinstance(obj, (tuple, list)):
+            for c in obj:
+                visit(c)
+        elif isinstance(obj, dict):
+            for c in obj.values():
+                visit(c)
+
+    visit(tree)
+
+
+def _aot_cache_key(args: tuple, static_desc: str) -> str:
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    sig = "|".join(f"{tuple(l.shape)}:{l.dtype}" for l in leaves)
+    raw = f"{jax.__version__}|{jax.default_backend()}|{static_desc}|{treedef}|{sig}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:24]
+
+
+def _aot_call(fit, args: tuple, aot_dir: str, static_desc: str):
+    """Run ``fit(*args)`` through the on-disk AOT program cache: the traced +
+    lowered stage-fit program is serialized once (jax.export) and later
+    processes deserialize it in ~0.2 s instead of re-tracing for ~4-10 s on
+    the single host core (measured, RESULTS.md). Donation is not preserved
+    by exported calls — one extra transient copy of the train state."""
+    import os
+
+    from jax import export as jexport
+
+    _register_io_namedtuples(args)
+    os.makedirs(aot_dir, exist_ok=True)
+    path = os.path.join(aot_dir, f"fit_{_aot_cache_key(args, static_desc)}.shlo")
+    exported = None
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                exported = jexport.deserialize(f.read())
+        except Exception:
+            exported = None  # stale/corrupt entry: fall through to re-export
+    if exported is None:
+        exported = jexport.export(fit)(*args)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exported.serialize())
+        os.replace(tmp, path)
+    return exported.call(*args)

@@ -114,6 +114,11 @@ class PipelineConfig:
     # averaged x iterate, and the Lightning ckpt omits optimizer_states since
     # the schedule-free state has no torch-AdamW layout).
     optimizer: str = "adamw"
+    # AOT program cache directory for device-fit stage programs: traced +
+    # lowered fits are serialized via jax.export and reloaded in ~0.2 s by
+    # later runs instead of re-traced for ~4-10 s each on the single host
+    # core (single-device runs only; see train/device_fit._aot_call).
+    aot_dir: Optional[str] = None
     # Stage-fit execution: "device" (default) runs the whole fit — epochs,
     # validation, early stopping, best-ckpt snapshot — as ONE jitted
     # lax.while_loop (train/device_fit.py; zero per-epoch host round trips,
@@ -248,6 +253,13 @@ class BestTracker:
         self._pending = None
 
 
+def _aot_cfg_desc(cfg: PipelineConfig) -> str:
+    """Config facts that change the traced fit program but not its arg
+    shapes — part of the AOT cache key."""
+    return (f"wd={cfg.weight_decay}|lb={cfg.loss_backend}|bb={cfg.block_backend}|"
+            f"opt={cfg.optimizer}|osd={cfg.opt_state_dtype}")
+
+
 def _eval_params_fn(cfg: PipelineConfig):
     """device_fit hook: schedule-free evaluates at the averaged x iterate."""
     if cfg.optimizer != "schedule-free":
@@ -293,6 +305,7 @@ def _fit_unimodal_stage(
     stage_seed: int = 0,
     resume_dir: Optional[str] = None,
     lr: Optional[float] = None,
+    aot_extra: str = "",
 ) -> loop.FitResult:
     """One Trainer.fit equivalent for a unimodal model."""
     train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
@@ -354,6 +367,8 @@ def _fit_unimodal_stage(
             limit_train_batches=cfg.limit_train_batches,
             plan_sharding=plan_sharding,
             eval_params_fn=_eval_params_fn(cfg),
+            aot_dir=cfg.aot_dir,
+            aot_desc=f"uni|beta={beta}|{_aot_cfg_desc(cfg)}|{aot_extra}",
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
         ))
 
@@ -411,6 +426,7 @@ def _fit_multimodal_stage(
     stage_seed: int = 0,
     resume_dir: Optional[str] = None,
     lr: Optional[float] = None,
+    aot_extra: str = "",
 ) -> loop.FitResult:
     train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
         tx,
@@ -473,6 +489,9 @@ def _fit_multimodal_stage(
             limit_train_batches=cfg.limit_train_batches,
             plan_sharding=plan_sharding,
             eval_params_fn=_eval_params_fn(cfg),
+            aot_dir=cfg.aot_dir,
+            aot_desc=(f"mm|beta={cfg.beta}|w={cfg.mod1_weight},{cfg.mod2_weight}|"
+                      f"{_aot_cfg_desc(cfg)}|{aot_extra}"),
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
         ))
 
@@ -619,7 +638,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 max_epochs=cfg.pretrain_max_epochs, beta=1.0,  # quirk Q6
                 use_class_labels=False, shuffle_train=True, stage_seed=10 + mi,
                 resume_dir=_stage_resume_dir(cfg, f"pretrain_{modality}"),
-                lr=cfg.learning_rate,
+                lr=cfg.learning_rate, aot_extra=f"clip={clip}",
             )
         with timer.stage("ckpt_save"):
             tracker.update_from_fit(result, templates[modality], (cfg.learning_rate, cfg.weight_decay))
@@ -660,7 +679,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                     stage_seed=20 + mi,
                     resume_dir=_stage_resume_dir(cfg, f"finetune_{modality}"),
                     lr=ft_lr,
-                )
+                 aot_extra=f"clip={clip}",)
             with timer.stage("ckpt_save"):
                 trackers[modality].update_from_fit(result, templates[modality], (ft_lr, cfg.weight_decay))
             # Unimodal stage-2 embeddings use the LAST-epoch model (train_model.py:235).
@@ -736,7 +755,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 fixed_train_stream=train_stream, stage_seed=30 + mi,
                 resume_dir=_stage_resume_dir(cfg, f"supervised_{modality}"),
                 lr=ft_lr,
-            )
+             aot_extra=f"clip={cfg.gradient_clip_val}",)
         with timer.stage("ckpt_save"):
             tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         best_p = tracker.best_params if tracker.best_params is not None else result.state.params
@@ -862,7 +881,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             use_class_labels=False, shuffle_train=True, stage_seed=10,
             resume_dir=_stage_resume_dir(cfg, "pretrain_joint"),
             lr=cfg.learning_rate,
-        )
+         aot_extra=f"clip={cfg.gradient_clip_val}",)
     tracker.update_from_fit(result, template, (cfg.learning_rate, cfg.weight_decay))
     # Fallback to the last state for the max_epochs=0 edge (tracker empty),
     # mirroring the unimodal stage-1 guard.
@@ -895,7 +914,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 shuffle_train=False, stage_seed=20,
                 resume_dir=_stage_resume_dir(cfg, "finetune_joint"),
                 lr=ft_lr,
-            )
+             aot_extra=f"clip={cfg.gradient_clip_val}",)
         tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         # Multimodal stage 2 reloads the best ckpt and embeds the fine-tune
         # TEST split (…multimodal.py:772-777).
@@ -955,7 +974,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             fixed_train_stream=train_stream, stage_seed=30,
             resume_dir=_stage_resume_dir(cfg, "supervised_joint"),
             lr=ft_lr,
-        )
+         aot_extra=f"clip={cfg.gradient_clip_val}",)
     sup_tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
     best_p = sup_tracker.best_params if sup_tracker.best_params is not None else result.state.params
     best_bn = sup_tracker.best_bn if sup_tracker.best_bn is not None else result.state.bn_state

@@ -68,6 +68,9 @@ def build_parser():
                         help="VAE-loss kernel inside every train/eval step")
     parser.add_argument("--dp-devices", type=int, default=None,
                         help="data-parallel training over the first N devices (jax Mesh + GSPMD)")
+    parser.add_argument("--aot-dir", type=str, default=None,
+                        help="cache dir for AOT-exported stage-fit programs: later runs "
+                             "deserialize in ~0.2 s instead of re-tracing (~4-10 s each)")
     parser.add_argument("--fit-loop", choices=("device", "host"), default="device",
                         help="stage fits as ONE on-device while_loop (zero per-epoch host "
                              "round trips; logs replayed post-stage) or the per-epoch host loop "
@@ -146,6 +149,7 @@ def run(args, model_type: str = "unimodal"):
         dp_devices=getattr(args, "dp_devices", None),
         fit_loop=getattr(args, "fit_loop", "device"),
         optimizer=getattr(args, "optimizer", "adamw"),
+        aot_dir=getattr(args, "aot_dir", None),
         log_fn=log_fn,
     )
 

@@ -23,10 +23,12 @@ def _rel(a, b):
 
 
 def _tiny_stage(fit_loop, *, max_epochs=5, patience=None, shuffle=True,
-                use_class_labels=False, limit=None, seed=7, optimizer="adamw"):
+                use_class_labels=False, limit=None, seed=7, optimizer="adamw",
+                aot_dir=None):
     cfg = pipeline.PipelineConfig(
         verbose=False, fit_loop=fit_loop, early_stopping_patience=patience,
         limit_train_batches=limit, seed=seed, optimizer=optimizer,
+        aot_dir=aot_dir,
     )
     rng = np.random.default_rng(0)
     n = 52
@@ -154,3 +156,26 @@ def test_schedule_free_stage_host_device_parity():
 
     r_adam, _ = _tiny_stage("device", optimizer="adamw")
     assert abs(r_adam.val_losses[-1] - r_dev.val_losses[-1]) > 1e-8
+
+
+def test_aot_cached_fit_matches_and_reuses(tmp_path):
+    """--aot-dir: the exported-program path returns the same FitResult and a
+    second run deserializes the cached program instead of re-exporting."""
+    import os
+
+    r_plain, _ = _tiny_stage("device")
+    aot = str(tmp_path / "aot")
+    r_aot, _ = _tiny_stage("device", aot_dir=aot)
+    files = os.listdir(aot)
+    assert len(files) == 1 and files[0].startswith("fit_")
+    np.testing.assert_allclose(r_aot.train_losses, r_plain.train_losses, rtol=2e-5)
+    np.testing.assert_allclose(r_aot.val_losses, r_plain.val_losses, rtol=2e-5)
+    assert r_aot.best_epoch == r_plain.best_epoch
+    for a, b in zip(jax.tree_util.tree_leaves(r_aot.best_params),
+                    jax.tree_util.tree_leaves(r_plain.best_params)):
+        assert _rel(a, b) < 1e-4
+
+    mtime = os.path.getmtime(os.path.join(aot, files[0]))
+    r_again, _ = _tiny_stage("device", aot_dir=aot)
+    assert os.path.getmtime(os.path.join(aot, files[0])) == mtime  # reused
+    np.testing.assert_allclose(r_again.val_losses, r_aot.val_losses, rtol=1e-6)
