@@ -168,9 +168,13 @@ def export_from_checkpoint(
     loaded = ckpt_mod.load_lightning_ckpt(ckpt_path)
     sd = loaded["state_dict"]
     multimodal = any(k.startswith("model.encoder_mod1.") for k in sd)
+    # jitted inits: ONE compiled dispatch instead of hundreds of eager ops
+    # (each pays a ~65 ms round trip on remote backends; cf. pipeline._init_*)
     if multimodal:
         cfg_m = infer_multimodal_config(sd)
-        template = cvae.multimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
+        template = jax.jit(cvae.multimodal_cvae_init, static_argnums=1)(
+            jax.random.PRNGKey(0), cfg_m
+        )
         params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
         blob = export_embedder(
             params, bn,
@@ -181,7 +185,9 @@ def export_from_checkpoint(
                     "input_lens": [cfg_m.output_size_wave, cfg_m.output_size_isi]}
     else:
         cfg_m = infer_unimodal_config(sd)
-        template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
+        template = jax.jit(cvae.unimodal_cvae_init, static_argnums=1)(
+            jax.random.PRNGKey(0), cfg_m
+        )
         params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
         blob = export_embedder(
             params, bn, input_len=cfg_m.output_size, platforms=platforms

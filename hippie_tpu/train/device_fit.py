@@ -253,7 +253,10 @@ def device_fit(
     best_epoch = int(best_epoch)
     rows = buf_h[:epochs_run]
 
-    for e in range(epochs_run):
+    # Match loop.fit's failure path: it raises BEFORE printing/logging the
+    # diverged epoch, so don't replay the NaN record either.
+    n_replay = epochs_run - 1 if bool(diverged) else epochs_run
+    for e in range(n_replay):
         rec = dict(zip(_COLS, (float(x) for x in rows[e])))
         if verbose:
             print(f"Average training loss is {rec['train_loss']:.2f}")

@@ -46,6 +46,13 @@ def make_optimizer(
     it, quirk Q9). Callers must evaluate/checkpoint at the averaged x iterate
     (``maybe_eval_params``); the pipeline wires this automatically.
     """
+    if algorithm == "schedule-free" and state_dtype is not None:
+        # The z iterate is a parameter-scale accumulator; bf16 storage would
+        # corrupt it. Fail loudly instead of silently ignoring the flag.
+        raise ValueError(
+            "--opt-state-dtype is not supported with --optimizer schedule-free "
+            "(the schedule-free z iterate must stay fp32)"
+        )
     chain = []
     if clip_val is not None:
         chain.append(optax.clip_by_global_norm(clip_val))
@@ -54,8 +61,6 @@ def make_optimizer(
         if algorithm == "schedule-free":
             from hippie_tpu.train.schedule_free import adamw_schedule_free
 
-            # state_dtype is deliberately NOT applied here: the z iterate is
-            # a parameter-scale accumulator; bf16 storage would corrupt it.
             return adamw_schedule_free(
                 learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-8,
                 weight_decay=weight_decay,

@@ -308,10 +308,6 @@ def _fit_unimodal_stage(
     aot_extra: str = "",
 ) -> loop.FitResult:
     """One Trainer.fit equivalent for a unimodal model."""
-    train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
-        tx, beta=beta, use_class_labels=use_class_labels,
-        loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
-    )
     # Shape-bucket the gather sources and batch plans (power-of-two rows /
     # plan lengths) and run the bucketed epoch mode: with the learning rate
     # injected as optimizer state, stages and datasets that land in the same
@@ -372,6 +368,13 @@ def _fit_unimodal_stage(
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
         ))
 
+    # Host-loop path only (--fit-loop host / --resume): per-epoch jitted
+    # runners driven from Python.
+    train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
+        tx, beta=beta, use_class_labels=use_class_labels,
+        loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
+    )
+
     def run_train(state, key, epoch):
         # Same canonical bucketed plan as device_fit generates in-device, so
         # --fit-loop host/--resume stay on the identical trajectory.
@@ -428,15 +431,6 @@ def _fit_multimodal_stage(
     lr: Optional[float] = None,
     aot_extra: str = "",
 ) -> loop.FitResult:
-    train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
-        tx,
-        beta=cfg.beta,
-        mod1_weight=cfg.mod1_weight,
-        mod2_weight=cfg.mod2_weight,
-        use_class_labels=use_class_labels,
-        loss_backend=cfg.loss_backend,
-        block_backend=cfg.block_backend,
-    )
     # shape bucketing + optional data parallelism: see _fit_unimodal_stage
     n_bucket = device_data.next_pow2(int(wave.shape[0]))
     wave = device_data.pad_rows(wave, n_bucket)
@@ -494,6 +488,17 @@ def _fit_multimodal_stage(
                       f"{_aot_cfg_desc(cfg)}|{aot_extra}"),
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
         ))
+
+    # Host-loop path only (--fit-loop host / --resume).
+    train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
+        tx,
+        beta=cfg.beta,
+        mod1_weight=cfg.mod1_weight,
+        mod2_weight=cfg.mod2_weight,
+        use_class_labels=use_class_labels,
+        loss_backend=cfg.loss_backend,
+        block_backend=cfg.block_backend,
+    )
 
     def run_train(state, key, epoch):
         # Same canonical bucketed plan as device_fit generates in-device, so
@@ -553,7 +558,10 @@ def _dp_shardings(cfg: PipelineConfig):
 def _stage_resume_dir(cfg: PipelineConfig, stage: str) -> Optional[str]:
     if not cfg.resume:
         return None
-    return os.path.join(cfg.checkpoint_dir, "resume", stage)
+    # Keyed by dataset: stage fit states have identical pytree shapes across
+    # targets, so a dataset-agnostic path would silently resume target B from
+    # target A's saved state (e.g. in scripts/sweep_targets.py --resume).
+    return os.path.join(cfg.checkpoint_dir, "resume", cfg.dataset, stage)
 
 
 # ---------------------------------------------------------------------------

@@ -84,10 +84,22 @@ class EmbeddingService:
         ):
             if artifact is not None:
                 from hippie_tpu import export as hexport
+                from hippie_tpu.evaluate.embeddings import _bucket, _pad_rows
 
                 call, manifest = hexport.load_artifact(artifact)
                 self.z_dim = int(manifest.get("z_dim", self.z_dim))
-                self._embed_fns[name] = lambda data, src, call=call: call(data, src)
+
+                def _artifact_embed(data, src, call=call):
+                    # Same power-of-two row bucketing as the checkpoint path:
+                    # Exported.call compiles per concrete shape, so raw N would
+                    # pay a fresh XLA compile per distinct request size. Eval
+                    # mode means pad rows cannot influence real rows.
+                    n = data.shape[0]
+                    b = _bucket(n)
+                    out = call(_pad_rows(data, b), _pad_rows(src, b))
+                    return out[:n]
+
+                self._embed_fns[name] = _artifact_embed
             elif ckpt is not None:
                 cfg = cvae.CVAEConfig(z_dim=z_dim, output_size=out_size, class_hidden_dim=5,
                                       num_sources=num_sources, num_classes=num_classes)
