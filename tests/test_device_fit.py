@@ -179,3 +179,61 @@ def test_aot_cached_fit_matches_and_reuses(tmp_path):
     r_again, _ = _tiny_stage("device", aot_dir=aot)
     assert os.path.getmtime(os.path.join(aot, files[0])) == mtime  # reused
     np.testing.assert_allclose(r_again.val_losses, r_aot.val_losses, rtol=1e-6)
+
+
+def _tiny_mm_stage(fit_loop, lr=1e-3, seed=11):
+    cfg = pipeline.PipelineConfig(verbose=False, fit_loop=fit_loop)
+    rng = np.random.default_rng(5)
+    n = 36
+    wave = jnp.asarray(rng.normal(size=(n, 50)).astype(np.float32))
+    isi = jnp.asarray(rng.normal(size=(n, 100)).astype(np.float32))
+    source = jnp.zeros((n,), jnp.int32)
+    class_ = jnp.zeros((n,), jnp.int32)
+    cfg_m = cvae.MultiModalConfig(z_dim=4, num_blocks=(1, 1, 1, 1))
+    params, bn = cvae.multimodal_cvae_init(jax.random.PRNGKey(2), cfg_m)
+    tx = optim.make_optimizer(lr, 0.01, clip_val=1.0)
+    ts = step.TrainState(params, bn, tx.init(params))
+    return pipeline._fit_multimodal_stage(
+        cfg=cfg, ts=ts, tx=tx, wave=wave, isi=isi, source=source, class_=class_,
+        train_indices=np.arange(28), val_indices=np.arange(28, n),
+        batch_size=16, max_epochs=3, use_class_labels=False, shuffle_train=True,
+        stage_seed=seed,
+    )
+
+
+def test_multimodal_device_fit_matches_host_loop():
+    r_host = _tiny_mm_stage("host")
+    r_dev = _tiny_mm_stage("device")
+    assert r_host.epochs_run == r_dev.epochs_run
+    assert r_host.best_epoch == r_dev.best_epoch
+    np.testing.assert_allclose(r_dev.train_losses, r_host.train_losses, rtol=2e-5)
+    np.testing.assert_allclose(r_dev.val_losses, r_host.val_losses, rtol=2e-5)
+    for leaf_d, leaf_h in zip(
+        jax.tree_util.tree_leaves(r_dev.best_params),
+        jax.tree_util.tree_leaves(r_host.best_params),
+    ):
+        assert _rel(leaf_d, leaf_h) < 1e-4
+
+
+def test_device_fit_divergence_raises_without_nan_log():
+    """A non-finite train loss raises FloatingPointError and — like the host
+    loop — does NOT emit a log record for the diverged epoch."""
+    logs = []
+    cfg = pipeline.PipelineConfig(verbose=False, fit_loop="device", log_fn=logs.append)
+    rng = np.random.default_rng(0)
+    n = 52
+    data = jnp.asarray((rng.normal(size=(n, 50)) * 1e3).astype(np.float32))
+    source = jnp.zeros((n,), jnp.int32)
+    cfg_m = cvae.CVAEConfig(z_dim=4, output_size=50, num_classes=3, num_blocks=(1, 1, 1, 1))
+    params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(1), cfg_m)
+    tx = optim.make_optimizer(1e18, 0.01)
+    ts = step.TrainState(params, bn, tx.init(params))
+    with pytest.raises(FloatingPointError):
+        pipeline._fit_unimodal_stage(
+            cfg=cfg, ts=ts, tx=tx, data=data, source=source, class_=source,
+            train_indices=np.arange(40), val_indices=np.arange(40, n),
+            batch_size=16, max_epochs=6, beta=1.0,
+            use_class_labels=False, shuffle_train=True, stage_seed=3,
+        )
+    for rec in logs:
+        assert np.isfinite(rec["train_loss"]), rec
