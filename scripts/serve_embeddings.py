@@ -125,14 +125,27 @@ class EmbeddingService:
     def embed(self, waveforms: np.ndarray, isi_dists: np.ndarray, source: int, normalize: bool):
         import jax.numpy as jnp
 
+        from hippie_tpu.evaluate.embeddings import _bucket
         from hippie_tpu.ops import preprocess
 
         t0 = time.perf_counter()
-        wave = preprocess.preprocess_waveforms(jnp.asarray(waveforms, jnp.float32), normalize=normalize)
-        isi = preprocess.preprocess_isi(jnp.asarray(isi_dists, jnp.float32), normalize=normalize)
-        src = jnp.full((wave.shape[0],), int(source), jnp.int32)
-        w = np.asarray(self._embed_fns["wave"](wave, src))
-        i = np.asarray(self._embed_fns["time"](isi, src))
+        # Bucket the RAW rows before preprocessing: every stage downstream
+        # (preprocess included) compiles per concrete shape, so without this
+        # the first request of each new row count paid a fresh remote compile
+        # (~5 s measured). Preprocessing is row-local (log1p / per-sample
+        # min-max / per-row resample) and embedding runs in eval mode, so
+        # zero-pad rows cannot influence real rows; they are sliced off.
+        n = len(waveforms)
+        b = _bucket(n)
+        wf_p = np.zeros((b, waveforms.shape[1]), np.float32)
+        wf_p[:n] = waveforms
+        isi_p = np.zeros((b, isi_dists.shape[1]), np.float32)
+        isi_p[:n] = isi_dists
+        wave = preprocess.preprocess_waveforms(jnp.asarray(wf_p), normalize=normalize)
+        isi = preprocess.preprocess_isi(jnp.asarray(isi_p), normalize=normalize)
+        src = jnp.full((b,), int(source), jnp.int32)
+        w = np.asarray(self._embed_fns["wave"](wave, src))[:n]
+        i = np.asarray(self._embed_fns["time"](isi, src))[:n]
         j = np.concatenate([w, i], axis=1)
         dt = time.perf_counter() - t0
         with self._lock:

@@ -55,6 +55,7 @@ def _tiny_stage(fit_loop, *, max_epochs=5, patience=None, shuffle=True,
     (True, False, None),
     (False, True, None),
     (True, False, 2),
+    (True, False, 0.5),  # Lightning-style fractional limit
 ])
 def test_device_fit_matches_host_loop(shuffle, use_cls, limit):
     r_host, logs_h = _tiny_stage("host", shuffle=shuffle,
