@@ -142,6 +142,22 @@ def load_artifact(path: str):
     embeddings, running the deserialized StableHLO on the default device."""
     with zipfile.ZipFile(path) as zf:
         manifest = json.loads(zf.read("manifest.json").decode())
+        fv = manifest.get("format_version")
+        if fv != FORMAT_VERSION:
+            raise ValueError(
+                f"artifact {path} has format_version {fv!r}; this build reads "
+                f"version {FORMAT_VERSION}. Re-export the model with this "
+                "version of hippie_tpu."
+            )
+        if manifest.get("jax_version") not in (None, jax.__version__):
+            import warnings
+
+            warnings.warn(
+                f"artifact {path} was exported with jax "
+                f"{manifest['jax_version']}, loading under {jax.__version__}; "
+                "jax.export guarantees limited cross-version compatibility",
+                stacklevel=2,
+            )
         exported = jexport.deserialize(zf.read("model.shlo"))
 
     def call(*arrays):

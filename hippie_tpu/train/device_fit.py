@@ -53,21 +53,30 @@ _COLS = ("train_loss", "val_loss", "train_mse", "train_kl", "val_mse", "val_kl")
 
 def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
                batch_size: int, nb_pad: int, plan_sharding=None,
-               eval_params_fn=None):
+               eval_params_fn=None, log_steps: bool = False):
     """The jitted whole-fit program over a tuple of data arrays.
 
     Static configuration (baked at trace time): ``shuffle``,
-    ``use_class_labels``, the plan geometry (nb_pad x batch_size) and the
-    stream bucket (from the stream input's shape). Everything else — real
-    stream length, executed batch counts, epoch/patience budgets — is runtime.
+    ``use_class_labels``, ``log_steps``, the plan geometry (nb_pad x
+    batch_size) and the stream bucket (from the stream input's shape).
+    Everything else — real stream length, executed batch counts,
+    epoch/patience budgets — is runtime.
+
+    The loop state travels as an explicit ``carry`` argument and the epoch
+    budget is a runtime scalar, so the host can run the SAME compiled
+    program in chunks (epoch_budget = k, 2k, ...) for live progress between
+    chunks — the trajectory is identical because all per-epoch RNG derives
+    from (root, epoch). With ``log_steps`` the carry also threads a
+    [E, nb_pad, 3] per-train-batch metric buffer (reference per-step
+    ``self.log``, model.py:111-113).
     """
     from hippie_tpu.data.device_data import epoch_shuffle_order
 
     nbB = nb_pad * batch_size
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def fit(ts, arrays, source, class_, stream_p, n_real, t_nb,
-            v_idx, v_mask, v_nb, root, max_epochs, patience, buf):
+    def fit(carry, arrays, source, class_, stream_p, n_real, t_nb,
+            v_idx, v_mask, v_nb, root, epoch_budget, patience):
         P = stream_p.shape[0]
         nb_val = v_idx.shape[0]
 
@@ -93,11 +102,11 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
 
         def cond(c):
             epoch, stop = c[0], c[-1]
-            return (epoch < max_epochs) & (~stop)
+            return (epoch < epoch_budget) & (~stop)
 
         def body(c):
             (epoch, ts, best_val, best_epoch, wait, diverged,
-             best_params, best_bn, best_opt, buf, _stop) = c
+             best_params, best_bn, best_opt, buf, sbuf, _stop) = c
             tkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 1)
             vkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 2)
 
@@ -109,14 +118,16 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
             keys = jax.random.split(jax.random.fold_in(tkey, 1), nb_pad)
 
             def tb(i, carry):
-                t, acc = carry
+                t, acc, sbuf = carry
                 new_t, m = batch_step(
                     t, *(g[i] for g in b_arrays), bs_all[i],
                     bc_all[i] if use_class_labels else None, t_mask[i], keys[i],
                 )
-                return new_t, (acc[0] + m.loss, acc[1] + m.mse, acc[2] + m.kl)
+                if log_steps:
+                    sbuf = sbuf.at[epoch, i].set(jnp.stack([m.loss, m.mse, m.kl]))
+                return new_t, (acc[0] + m.loss, acc[1] + m.mse, acc[2] + m.kl), sbuf
 
-            ts, tacc = jax.lax.fori_loop(0, t_nb, tb, (ts, (zero, zero, zero)))
+            ts, tacc, sbuf = jax.lax.fori_loop(0, t_nb, tb, (ts, (zero, zero, zero), sbuf))
             t_den = jnp.maximum(t_nb.astype(jnp.float32), 1.0)
             train_loss, train_mse, train_kl = (a / t_den for a in tacc)
 
@@ -155,19 +166,24 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
                 jnp.stack([train_loss, val_loss, train_mse, train_kl, val_mse, val_kl])
             )
             return (epoch + 1, ts, best_val, best_epoch, wait, diverged | bad,
-                    best_params, best_bn, best_opt, buf, stop)
+                    best_params, best_bn, best_opt, buf, sbuf, stop)
 
-        init = (
-            jnp.int32(0), ts, jnp.float32(jnp.inf), jnp.int32(-1), jnp.int32(0),
-            jnp.bool_(False), ts.params, ts.bn_state, ts.opt_state, buf,
-            jnp.bool_(False),
-        )
-        (epochs_run, ts, best_val, best_epoch, _wait, diverged,
-         best_params, best_bn, best_opt, buf, _stop) = jax.lax.while_loop(cond, body, init)
-        return (ts, best_params, best_bn, best_opt,
-                (epochs_run, best_val, best_epoch, diverged), buf)
+        return jax.lax.while_loop(cond, body, carry)
 
     return fit
+
+
+@jax.jit
+def _init_carry(ts, buf, sbuf):
+    # The best_* seeds must be COPIES of the live state: the whole carry is
+    # donated to the fit program, and donating the same buffer twice (ts.params
+    # aliasing best_params) is an execution error.
+    best = jax.tree_util.tree_map(jnp.copy, (ts.params, ts.bn_state, ts.opt_state))
+    return (
+        jnp.int32(0), ts, jnp.float32(jnp.inf), jnp.int32(-1), jnp.int32(0),
+        jnp.bool_(False), *best, buf, sbuf,
+        jnp.bool_(False),
+    )
 
 
 def device_fit(
@@ -196,12 +212,21 @@ def device_fit(
     log_fn=None,
     verbose: bool = True,
     lr: Optional[float] = None,
+    progress_every: Optional[int] = None,
+    log_steps: bool = False,
 ) -> FitResult:
     """Run a full stage fit on device; returns a loop.FitResult.
 
-    Per-epoch verbose prints / log_fn records are replayed after the fit
-    completes (the trade-off for zero per-epoch RTTs). ``plan_sharding``
-    optionally constrains the generated epoch plans (the dp_devices path).
+    ``progress_every``: run the (one) compiled fit program in epoch chunks of
+    this size, printing/logging completed epochs between chunks — live
+    progress at the cost of one dispatch + small fetch per chunk (the
+    trajectory is identical: per-epoch RNG derives from (seed, epoch)). None
+    = single dispatch, logs replayed after the stage. ``log_steps`` threads a
+    per-train-batch metric buffer through the fit and emits one
+    ``{train_loss_step, ...}`` record per executed batch to ``log_fn`` (the
+    reference's per-step self.log granularity, model.py:111-113).
+    ``plan_sharding`` optionally constrains the generated epoch plans (the
+    dp_devices path).
     """
     from hippie_tpu.data import device_data
     from hippie_tpu.train import loop as loop_mod
@@ -221,33 +246,82 @@ def device_fit(
             best_opt_state=ts.opt_state, train_losses=[], val_losses=[],
         )
 
-    buf = jnp.full((device_data.next_pow2(max_epochs, minimum=8), len(_COLS)),
-                   jnp.nan, jnp.float32)
+    e_pad = device_data.next_pow2(max_epochs, minimum=8)
+    buf = jnp.full((e_pad, len(_COLS)), jnp.nan, jnp.float32)
+    sbuf = (jnp.full((e_pad, nb_pad, 3), jnp.nan, jnp.float32) if log_steps
+            else jnp.zeros((0,), jnp.float32))
     patience = early_stopping_patience if early_stopping_patience is not None else 2**31 - 2
 
     fit = _build_fit(
         batch_step, eval_step,
         use_class_labels=use_class_labels, shuffle=shuffle,
         batch_size=batch_size, nb_pad=nb_pad, plan_sharding=plan_sharding,
-        eval_params_fn=eval_params_fn,
+        eval_params_fn=eval_params_fn, log_steps=log_steps,
     )
-    fit_args = (
-        ts, tuple(arrays), source, class_, jnp.asarray(stream_p),
+    mid_args = (
+        tuple(arrays), source, class_, jnp.asarray(stream_p),
         jnp.asarray(n_real, jnp.int32), jnp.asarray(n_keep, jnp.int32),
-        val_idx, val_mask, val_nb,
-        jax.random.PRNGKey(seed), jnp.asarray(max_epochs, jnp.int32),
-        jnp.asarray(patience, jnp.int32), buf,
+        val_idx, val_mask, val_nb, jax.random.PRNGKey(seed),
     )
-    if aot_dir is not None and plan_sharding is None:
-        static_desc = f"{aot_desc}|ucl={use_class_labels}|sh={shuffle}|B={batch_size}|nb={nb_pad}"
-        (final_ts, best_params, best_bn, best_opt, scalars, buf) = _aot_call(
-            fit, fit_args, aot_dir, static_desc
-        )
+    patience_arr = jnp.asarray(patience, jnp.int32)
+    # Executable-format cache entries carry their shardings, so dp runs
+    # (plan_sharding set) are cacheable too; the jax.export fallback is not.
+    use_aot = aot_dir is not None and (
+        plan_sharding is None or _have_exec_serialization()
+    )
+    static_desc = (f"{aot_desc}|ucl={use_class_labels}|sh={shuffle}|B={batch_size}|"
+                   f"nb={nb_pad}|ls={log_steps}")
+
+    def run_chunk(carry, epoch_budget: int):
+        args = (carry, *mid_args, jnp.asarray(epoch_budget, jnp.int32), patience_arr)
+        if use_aot:
+            return _aot_call(fit, args, aot_dir, static_desc)
+        return fit(*args)
+
+    def emit(rec_rows, start_epoch):
+        """Print/log per-epoch records for rows [start_epoch, ...)."""
+        for off, row in enumerate(rec_rows):
+            e = start_epoch + off
+            rec = dict(zip(_COLS, (float(x) for x in row)))
+            if verbose:
+                print(f"Average training loss is {rec['train_loss']:.2f}")
+                print(f"Average validation loss is {rec['val_loss']:.2f}")
+            if log_fn is not None:
+                out = {"epoch": e, "train_loss": rec["train_loss"],
+                       "val_loss": rec["val_loss"],
+                       "train_mse": rec["train_mse"], "train_kl": rec["train_kl"],
+                       "val_mse": rec["val_mse"], "val_kl": rec["val_kl"]}
+                if lr is not None:
+                    out["lr"] = float(lr)
+                log_fn(out)
+
+    carry = _init_carry(ts, buf, sbuf)
+    emitted = 0
+    if progress_every and progress_every > 0:
+        budget = 0
+        while True:
+            budget = min(budget + int(progress_every), max_epochs)
+            carry = run_chunk(carry, budget)
+            # one small fetch per chunk: loop scalars + the new metric rows
+            epochs_done, stop, diverged_now = (
+                int(x) for x in jax.device_get((carry[0], carry[-1], carry[5]))
+            )
+            if epochs_done > emitted:
+                rows_new = np.asarray(jax.device_get(carry[9][emitted:epochs_done]))
+                # hold back the diverged (NaN) epoch: loop.fit raises before
+                # printing/logging it
+                n_emit = len(rows_new) - 1 if diverged_now else len(rows_new)
+                emit(rows_new[:n_emit], emitted)
+                emitted = epochs_done - (1 if diverged_now else 0)
+            if stop or diverged_now or epochs_done >= max_epochs:
+                break
     else:
-        (final_ts, best_params, best_bn, best_opt, scalars, buf) = fit(*fit_args)
-    # ONE host fetch for the loop outcome; model/optimizer states stay on device.
+        carry = run_chunk(carry, max_epochs)
+
+    (_e, final_ts, _bv, _be, _w, _d, best_params, best_bn, best_opt,
+     buf_d, sbuf_d, _s) = carry
     (epochs_run, best_val, best_epoch, diverged), buf_h = jax.device_get(
-        (scalars, buf)
+        ((carry[0], carry[2], carry[3], carry[5]), buf_d)
     )
     epochs_run = int(epochs_run)
     best_epoch = int(best_epoch)
@@ -256,18 +330,19 @@ def device_fit(
     # Match loop.fit's failure path: it raises BEFORE printing/logging the
     # diverged epoch, so don't replay the NaN record either.
     n_replay = epochs_run - 1 if bool(diverged) else epochs_run
-    for e in range(n_replay):
-        rec = dict(zip(_COLS, (float(x) for x in rows[e])))
-        if verbose:
-            print(f"Average training loss is {rec['train_loss']:.2f}")
-            print(f"Average validation loss is {rec['val_loss']:.2f}")
-        if log_fn is not None:
-            out = {"epoch": e, "train_loss": rec["train_loss"], "val_loss": rec["val_loss"],
-                   "train_mse": rec["train_mse"], "train_kl": rec["train_kl"],
-                   "val_mse": rec["val_mse"], "val_kl": rec["val_kl"]}
-            if lr is not None:
-                out["lr"] = float(lr)
-            log_fn(out)
+    if emitted < n_replay:
+        emit(rows[emitted:n_replay], emitted)
+
+    if log_steps and log_fn is not None and n_replay > 0:
+        srows = np.asarray(jax.device_get(sbuf_d[:n_replay, :n_keep]))
+        for e in range(n_replay):
+            for i in range(n_keep):
+                log_fn({
+                    "epoch": e, "step": e * n_keep + i,
+                    "train_loss_step": float(srows[e, i, 0]),
+                    "train_mse_step": float(srows[e, i, 1]),
+                    "train_kl_step": float(srows[e, i, 2]),
+                })
 
     if bool(diverged):
         bad_epoch = epochs_run - 1
@@ -305,17 +380,32 @@ def _register_io_namedtuples(tree) -> None:
     serialization (names are module.qualname — stable across processes)."""
     from jax import export as jexport
 
+    def register(t, name):
+        try:
+            from jax._src.export._export import serialization_registry
+            prior = serialization_registry.get(t)
+        except Exception:  # registry is private API; fall back to blind try
+            prior = None
+        if prior is not None:
+            # Already registered. If under a DIFFERENT serialized name, cache
+            # files written by this process would be undeserializable by
+            # readers using the canonical name — fail loudly instead of
+            # producing silently-incompatible entries.
+            if prior[0] != name:
+                raise RuntimeError(
+                    f"namedtuple {t} already registered for jax.export "
+                    f"serialization as {prior[0]!r}; the AOT program cache "
+                    f"requires the canonical name {name!r}"
+                )
+            return
+        jexport.register_namedtuple_serialization(t, serialized_name=name)
+
     def visit(obj):
         t = type(obj)
         if hasattr(t, "_fields"):
             if t not in _REGISTERED_NT:
                 _REGISTERED_NT.add(t)
-                try:
-                    jexport.register_namedtuple_serialization(
-                        t, serialized_name=f"{t.__module__}.{t.__qualname__}"
-                    )
-                except ValueError:
-                    pass  # registered elsewhere
+                register(t, f"{t.__module__}.{t.__qualname__}")
             for f in obj._fields:
                 visit(getattr(obj, f))
         elif isinstance(obj, (tuple, list)):
@@ -328,30 +418,120 @@ def _register_io_namedtuples(tree) -> None:
     visit(tree)
 
 
+_SOURCE_REV: Optional[str] = None
+
+
+def _source_revision() -> str:
+    """Hash of the hippie_tpu package sources. Folded into AOT cache keys so
+    editing model/step/loss code invalidates stale compiled programs (same
+    shapes + same jax version would otherwise silently replay old code)."""
+    global _SOURCE_REV
+    if _SOURCE_REV is None:
+        import hashlib
+        import os
+
+        import hippie_tpu
+
+        h = hashlib.sha256()
+        pkg_root = os.path.dirname(os.path.abspath(hippie_tpu.__file__))
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(os.path.relpath(p, pkg_root).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _SOURCE_REV = h.hexdigest()[:16]
+    return _SOURCE_REV
+
+
 def _aot_cache_key(args: tuple, static_desc: str) -> str:
     import hashlib
 
     leaves, treedef = jax.tree_util.tree_flatten(args)
-    sig = "|".join(f"{tuple(l.shape)}:{l.dtype}" for l in leaves)
-    raw = f"{jax.__version__}|{jax.default_backend()}|{static_desc}|{treedef}|{sig}"
+    sig = "|".join(
+        f"{tuple(l.shape)}:{l.dtype}:{getattr(l, 'sharding', None)}" for l in leaves
+    )
+    raw = (f"{jax.__version__}|{jax.default_backend()}|{_source_revision()}|"
+           f"{static_desc}|{treedef}|{sig}")
     return hashlib.sha256(raw.encode()).hexdigest()[:24]
 
 
+def _have_exec_serialization() -> bool:
+    try:
+        from jax.experimental import serialize_executable  # noqa: F401
+
+        return True
+    except Exception:  # pragma: no cover
+        return False
+
+
+_EXEC_MEMO: dict = {}  # path -> loaded compiled callable (per process)
+
+
 def _aot_call(fit, args: tuple, aot_dir: str, static_desc: str):
-    """Run ``fit(*args)`` through the on-disk AOT program cache: the traced +
-    lowered stage-fit program is serialized once (jax.export) and later
-    processes deserialize it in ~0.2 s instead of re-tracing for ~4-10 s on
-    the single host core (measured, RESULTS.md). Donation is not preserved
-    by exported calls — one extra transient copy of the train state."""
+    """Run ``fit(*args)`` through the on-disk AOT program cache.
+
+    Primary format: the COMPILED executable (jax.experimental.
+    serialize_executable). The populating run compiles through the normal
+    jit path — ``fit.lower(*args).compile()`` — so it costs the same as a
+    plain run (and its backend compile lands in the persistent HLO cache as
+    usual; the old jax.export format instead re-lowered under the export
+    calling convention, whose HLO missed the warm cache — a measured 588 s
+    of duplicate backend compiles per populated dir, RESULTS.md). Later
+    processes ``deserialize_and_load`` in ~0.2 s, skipping trace, lowering
+    AND backend compile; donation/input-aliasing is preserved by the
+    executable (the export path made one extra transient copy).
+
+    Cache keys include arg shapes/dtypes/shardings, the config description,
+    jax version, backend, and a hash of the hippie_tpu sources (stale code
+    never replays). Entries are topology-specific; a load failure (different
+    machine/mesh) falls back to a fresh compile that overwrites the entry.
+
+    Fallback format when executable serialization is unavailable: the
+    round-2 jax.export StableHLO path.
+    """
     import os
 
+    os.makedirs(aot_dir, exist_ok=True)
+    key = _aot_cache_key(args, static_desc)
+
+    if _have_exec_serialization():
+        import pickle
+
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load, serialize)
+
+        path = os.path.join(aot_dir, f"fit_{key}.jexec")
+        loaded = _EXEC_MEMO.get(path)
+        if loaded is None and os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                loaded = deserialize_and_load(payload, in_tree, out_tree)
+            except Exception:
+                loaded = None  # stale/corrupt/foreign-topology: recompile
+        if loaded is None:
+            compiled = fit.lower(*args).compile()
+            try:
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump(serialize(compiled), f)
+                os.replace(tmp, path)
+            except Exception:
+                pass  # backend can't serialize executables: still run compiled
+            loaded = compiled
+        _EXEC_MEMO[path] = loaded
+        return loaded(*args)
+
+    # ---- fallback: jax.export StableHLO artifact --------------------------
     from jax import export as jexport
 
     _register_io_namedtuples(args)
-    os.makedirs(aot_dir, exist_ok=True)
-    path = os.path.join(aot_dir, f"fit_{_aot_cache_key(args, static_desc)}.shlo")
-    exported = None
-    if os.path.exists(path):
+    path = os.path.join(aot_dir, f"fit_{key}.shlo")
+    exported = _EXEC_MEMO.get(path)
+    if exported is None and os.path.exists(path):
         try:
             with open(path, "rb") as f:
                 exported = jexport.deserialize(f.read())
@@ -363,4 +543,5 @@ def _aot_call(fit, args: tuple, aot_dir: str, static_desc: str):
         with open(tmp, "wb") as f:
             f.write(exported.serialize())
         os.replace(tmp, path)
+    _EXEC_MEMO[path] = exported
     return exported.call(*args)

@@ -134,10 +134,10 @@ def _find_adam_state(opt_state):
     return found[0]
 
 
-def _replace_adam_state(opt_state, new_adam):
+def _replace_matching_state(opt_state, is_match, new_state):
     def visit(node):
-        if hasattr(node, "mu") and hasattr(node, "nu") and hasattr(node, "count"):
-            return new_adam
+        if is_match(node):
+            return new_state
         if hasattr(node, "_fields"):  # recurse other namedtuples (e.g. InjectHyperparamsState)
             return type(node)(*[visit(getattr(node, f)) for f in node._fields])
         if isinstance(node, tuple):
@@ -149,6 +149,22 @@ def _replace_adam_state(opt_state, new_adam):
         return node
 
     return visit(opt_state)
+
+
+def _replace_adam_state(opt_state, new_adam):
+    return _replace_matching_state(
+        opt_state,
+        lambda n: hasattr(n, "mu") and hasattr(n, "nu") and hasattr(n, "count"),
+        new_adam,
+    )
+
+
+def _is_sf_state(node) -> bool:
+    return hasattr(node, "z") and hasattr(node, "weight_sum") and hasattr(node, "exp_avg_sq")
+
+
+def replace_schedule_free_state(opt_state, new_sf):
+    return _replace_matching_state(opt_state, _is_sf_state, new_sf)
 
 
 def adamw_state_to_torch(
@@ -266,3 +282,73 @@ def maybe_eval_params(opt_state, params):
 # per-leaf lerps would pay a device round trip per parameter on remote
 # backends). Structure (sf-present or not) is a static trace property.
 eval_params_jit = jax.jit(maybe_eval_params)
+
+
+# ---------------------------------------------------------------------------
+# Schedule-free sidecar persistence
+# ---------------------------------------------------------------------------
+#
+# The Lightning ckpt contract requires ``optimizer_states[0]`` to be a torch
+# AdamW layout, which schedule-free state has none of — so the .ckpt stays
+# contract-empty for schedule-free runs and the full averaging state
+# (k, weight_sum, lr_max, z, exp_avg_sq) is persisted in a sidecar file next
+# to the checkpoint. Stage handoffs continue from the device-resident state
+# directly (pipeline._sf_fork_state); the sidecar exists so a later process
+# can also continue training from the .ckpt (the analog of the reference's
+# ``optimizer.load_state_dict(ckpt["optimizer_states"][0])``,
+# train_model.py:387-398).
+
+SF_SIDECAR_SUFFIX = ".sfstate"
+
+
+def save_schedule_free_sidecar(ckpt_path: str, opt_state) -> Optional[str]:
+    """Write the schedule-free state next to ``ckpt_path``; returns the
+    sidecar path, or None when the optimizer is not schedule-free."""
+    import pickle
+
+    sf = find_schedule_free_state(opt_state)
+    if sf is None:
+        return None
+    payload = {
+        "k": int(sf.k),
+        "weight_sum": float(sf.weight_sum),
+        "lr_max": float(sf.lr_max),
+        # bulk fetch: ONE device->host transfer per tree, not one per leaf
+        "z": ckpt_mod.bulk_host_fetch(ckpt_mod.flatten_interleaved(sf.z, None)),
+        "exp_avg_sq": ckpt_mod.bulk_host_fetch(
+            ckpt_mod.flatten_interleaved(sf.exp_avg_sq, None)
+        ),
+    }
+    path = ckpt_path + SF_SIDECAR_SUFFIX
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+def load_schedule_free_sidecar(ckpt_path: str, opt_state, drop_keys=()):
+    """Restore a sidecar written by ``save_schedule_free_sidecar`` into a
+    freshly-initialized optimizer state (same pytree structure). Leaves whose
+    flat key starts with a ``drop_keys`` prefix keep their fresh values (the
+    class-embedding surgery analog of quirk Q10)."""
+    import pickle
+
+    sf = find_schedule_free_state(opt_state)
+    if sf is None:
+        raise ValueError("optimizer state has no schedule-free component")
+    with open(ckpt_path + SF_SIDECAR_SUFFIX, "rb") as f:
+        payload = pickle.load(f)
+
+    def filtered(flat):
+        return {k: v for k, v in flat.items()
+                if not any(k.startswith(d) for d in drop_keys)}
+
+    z, _, _, _ = ckpt_mod.unflatten_to(sf.z, {}, filtered(payload["z"]))
+    eas, _, _, _ = ckpt_mod.unflatten_to(sf.exp_avg_sq, {}, filtered(payload["exp_avg_sq"]))
+    new_sf = sf._replace(
+        k=jnp.asarray(payload["k"], sf.k.dtype),
+        weight_sum=jnp.asarray(payload["weight_sum"], sf.weight_sum.dtype),
+        lr_max=jnp.asarray(payload["lr_max"], sf.lr_max.dtype),
+        z=z,
+        exp_avg_sq=eas,
+    )
+    return replace_schedule_free_state(opt_state, new_sf)

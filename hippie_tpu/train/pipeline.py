@@ -107,6 +107,12 @@ class PipelineConfig:
     # params/data replicated, batch plans sharded on the batch axis, gradient
     # all-reduce inserted by GSPMD. None = single-device.
     dp_devices: Optional[int] = None
+    # ZeRO/FSDP-style parameter + optimizer-state sharding over the same
+    # 'data' mesh axis (requires dp_devices > 1): each leaf's largest
+    # divisible axis is sharded, GSPMD all-gathers on use. Cuts per-chip
+    # params+opt memory ~1/N at the cost of all-gather traffic — the lever
+    # when the model outgrows one chip's HBM.
+    fsdp: bool = False
     # Optimizer algorithm: "adamw" (reference contract, torch-exact) or
     # "schedule-free" (train/schedule_free.py — the reference vendors Meta's
     # AdamWScheduleFree but never instantiates it, quirk Q9; here it is a
@@ -114,10 +120,12 @@ class PipelineConfig:
     # averaged x iterate, and the Lightning ckpt omits optimizer_states since
     # the schedule-free state has no torch-AdamW layout).
     optimizer: str = "adamw"
-    # AOT program cache directory for device-fit stage programs: traced +
-    # lowered fits are serialized via jax.export and reloaded in ~0.2 s by
-    # later runs instead of re-traced for ~4-10 s each on the single host
-    # core (single-device runs only; see train/device_fit._aot_call).
+    # AOT program cache directory for device-fit stage programs: COMPILED
+    # executables are serialized (jax.experimental.serialize_executable) and
+    # reloaded in ~0.2 s by later processes — skipping trace, lowering and
+    # backend compile (dp runs included; keys carry a source-code hash so
+    # stale programs never replay). The CLI defaults this ON
+    # (~/.cache/hippie_tpu_aot); see train/device_fit._aot_call.
     aot_dir: Optional[str] = None
     # Stage-fit execution: "device" (default) runs the whole fit — epochs,
     # validation, early stopping, best-ckpt snapshot — as ONE jitted
@@ -126,6 +134,16 @@ class PipelineConfig:
     # Python loop (train/loop.py; live per-epoch prints, required for
     # --resume, bit-compatible trajectory).
     fit_loop: str = "device"
+    # Live progress for device fits: run the (one) compiled fit program in
+    # epoch chunks of this size with prints/logs between chunks (identical
+    # trajectory; one extra dispatch + tiny fetch per chunk). None = auto
+    # (patience-sized chunks on multi-epoch stages when anyone is watching);
+    # 0 = single dispatch, logs replayed post-stage.
+    progress_every: Optional[int] = None
+    # Opt-in per-train-batch metric records ({train_loss_step, ...} per
+    # executed batch via log_fn) — the reference's per-step self.log
+    # granularity (model.py:111-113). Device fit loop only.
+    log_every_step: bool = False
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -202,6 +220,55 @@ def _fork_state(params, bn, tx) -> step.TrainState:
     return step.TrainState(params, bn, jax.jit(tx.init)(params))
 
 
+@jax.jit
+def _sf_resume_jit(x_params, bn, opt_state):
+    """One compiled dispatch for the schedule-free stage-resume math: recover
+    the y training iterate from the checkpointed x iterate (the reference's
+    .train() mode switch, optimizers.py:94-104) and deep-copy everything so
+    the donated fit buffers never alias a tracker's snapshots."""
+    from hippie_tpu.train import schedule_free as sfree
+
+    sf = optim.find_schedule_free_state(opt_state)
+    y = sfree.train_params(sf, x_params)
+    return jax.tree_util.tree_map(jnp.copy, (y, bn, opt_state))
+
+
+def _sf_fork_state(x_params, bn, tx, prev_opt_state, drop=()) -> step.TrainState:
+    """Stage warm start that CONTINUES schedule-free averaging.
+
+    A fresh ``tx.init`` would restart the run-weighted average (k=0, fresh z)
+    at every stage boundary; instead the previous stage's (k, weight_sum,
+    lr_max, z, exp_avg_sq) are carried into the fresh chain state — with
+    template-fresh leaves for ``drop`` subtrees (the stage-3 class-embedding
+    surgery, quirk Q10) — and training resumes at y = train_params(sf, x).
+    ``x_params`` must be the x (eval) iterate, which is what _finalize_fit
+    hands every consumer of a schedule-free fit.
+    """
+    fresh_opt = jax.jit(tx.init)(x_params)
+    prev_sf = optim.find_schedule_free_state(prev_opt_state)
+    if prev_sf is None:  # AdamW (or unfitted) predecessor: plain fork
+        return _fork_state(x_params, bn, tx)
+    fresh_sf = optim.find_schedule_free_state(fresh_opt)
+    new_sf = fresh_sf._replace(
+        k=prev_sf.k, weight_sum=prev_sf.weight_sum, lr_max=prev_sf.lr_max,
+        z=_graft(fresh_sf.z, prev_sf.z, drop),
+        exp_avg_sq=_graft(fresh_sf.exp_avg_sq, prev_sf.exp_avg_sq, drop),
+    )
+    new_opt = optim.replace_schedule_free_state(fresh_opt, new_sf)
+    y, bn2, opt2 = _sf_resume_jit(x_params, bn, new_opt)
+    return step.TrainState(y, bn2, opt2)
+
+
+def _stage_fork(cfg: PipelineConfig, params, bn, tx, prev_opt, drop=()) -> step.TrainState:
+    """Warm-start TrainState for the next stage: schedule-free continues the
+    averaging from ``prev_opt`` (tracker/result optimizer state); AdamW gets
+    the reference's fresh per-fit optimizer (configure_optimizers per
+    Trainer.fit)."""
+    if cfg.optimizer == "schedule-free" and prev_opt is not None:
+        return _sf_fork_state(params, bn, tx, prev_opt, drop)
+    return _fork_state(params, bn, tx)
+
+
 class BestTracker:
     """ModelCheckpoint(save_top_k=1, mode='min') semantics, shareable across
     stages like the reference's reused callback object.
@@ -209,9 +276,11 @@ class BestTracker:
     Writes are DEFERRED: update_from_fit only snapshots device refs (the fit
     loop device-cloned them, so they survive donation); ``flush()`` performs
     the expensive host fetch + torch-layout conversion + disk write once,
-    right before the checkpoint is read or at pipeline end. This removes
-    ~30-55 s of per-run host transfers vs eager per-stage writes. Crash
-    resume is orbax's job (--resume), not the Lightning ckpt's.
+    at pipeline end (or overlapped with later stages via ``flush_async``).
+    This removes ~30-55 s of per-run host transfers vs eager per-stage
+    writes. Crash resume is orbax's job (--resume), not the Lightning
+    ckpt's; stage handoffs read the device-resident best trees directly
+    (``_seed_from_best``), never the file.
     """
 
     def __init__(self, path: str):
@@ -219,22 +288,23 @@ class BestTracker:
         self.best_val = math.inf
         self.best_params = None
         self.best_bn = None
+        self.best_opt = None  # survives flush: stage handoffs continue from it
         self._pending = None  # (opt_state, template, lr, wd) awaiting flush
+        self._thread = None
+        self._thread_err = None
 
     def update_from_fit(self, result: loop.FitResult, params_template, opt_meta):
         if result.best_epoch >= 0 and result.best_val_loss < self.best_val:
             self.best_val = result.best_val_loss
             self.best_params = result.best_params
             self.best_bn = result.best_bn_state
+            self.best_opt = result.best_opt_state
             lr, wd = opt_meta
             self._pending = (result.best_opt_state, params_template, lr, wd)
             return True
         return False
 
-    def flush(self):
-        """Write the best checkpoint to disk if a new best is pending."""
-        if self._pending is None:
-            return
+    def _write(self):
         opt_state, params_template, lr, wd = self._pending
         try:
             best_opt_torch = optim.adamw_state_to_torch(
@@ -242,15 +312,86 @@ class BestTracker:
             )
         except ValueError:
             # schedule-free state has no torch-AdamW layout; the ckpt carries
-            # model weights (x iterate) only — empty optimizer_states.
+            # model weights (x iterate) only — empty optimizer_states — and
+            # the averaging state goes to a sidecar file next to the ckpt.
             best_opt_torch = None
         ordered_p = ckpt_mod.reorder_like(params_template[0], self.best_params)
         ordered_s = ckpt_mod.reorder_like(params_template[1], self.best_bn)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        if best_opt_torch is None and opt_state is not None:
+            optim.save_schedule_free_sidecar(self.path, opt_state)
         ckpt_mod.save_lightning_ckpt(
             self.path, ordered_p, ordered_s, optimizer_state=best_opt_torch
         )
         self._pending = None
+
+    def flush(self):
+        """Write the best checkpoint to disk if a new best is pending
+        (joining any in-flight background write first)."""
+        self.wait()
+        if self._pending is not None:
+            self._write()
+
+    def flush_async(self):
+        """Start the host fetch + torch conversion + disk write in a
+        background thread so it overlaps later pipeline stages (the tracked
+        trees are device-cloned snapshots no fit will donate; jax dispatch is
+        thread-safe). Join with ``wait()``/``flush()``."""
+        import threading
+
+        self.wait()
+        if self._pending is None:
+            return
+
+        def run():
+            try:
+                self._write()
+            except BaseException as e:  # re-raised on wait()
+                self._thread_err = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._thread_err is not None:
+            err, self._thread_err = self._thread_err, None
+            raise err
+
+
+def _graft(template, source, drop=()):
+    """Template tree with ``source``'s leaves grafted in, except subtrees
+    named in ``drop`` (top-level keys), which keep the template's fresh
+    values. Walks the template, so the result has the template's insertion
+    order (the torch registration order)."""
+    out = {}
+    for k, v in template.items():
+        if k in drop or not (isinstance(source, dict) and k in source):
+            out[k] = v
+        elif isinstance(v, dict):
+            out[k] = _graft(v, source[k])
+        else:
+            out[k] = source[k]
+    return out
+
+
+def _seed_from_best(best_params, best_bn, template, drop=("class_embedding",)):
+    """Seed the next stage's (params, bn) from a tracker's device-resident
+    best trees directly — bit-identical to the reference's checkpoint detour
+    (save .ckpt -> torch load -> load_state_dict(strict=False) minus
+    class_embedding, train_model.py:333-347 / quirk Q10) without the
+    ~100-160 MB device->host->device round trip (tests/test_pipeline.py
+    asserts the equivalence). Returns device COPIES: the sources stay valid
+    for the tracker's deferred ckpt write even after stage epochs donate the
+    returned buffers."""
+    tp, tbn = template
+    params = _graft(tp, best_params, drop)
+    bn = _graft(tbn, best_bn)
+    params, bn = loop.device_clone((params, bn))
+    # the jitted clone returns key-sorted dicts; restore registration order
+    return ckpt_mod.reorder_like(tp, params), ckpt_mod.reorder_like(tbn, bn)
 
 
 def _aot_cfg_desc(cfg: PipelineConfig) -> str:
@@ -258,6 +399,20 @@ def _aot_cfg_desc(cfg: PipelineConfig) -> str:
     shapes — part of the AOT cache key."""
     return (f"wd={cfg.weight_decay}|lb={cfg.loss_backend}|bb={cfg.block_backend}|"
             f"opt={cfg.optimizer}|osd={cfg.opt_state_dtype}")
+
+
+def _progress_chunk(cfg: PipelineConfig, max_epochs: int) -> Optional[int]:
+    """Epoch chunk size for live device-fit progress (see PipelineConfig
+    .progress_every). Auto mode only chunks multi-epoch stages someone is
+    actually watching (verbose prints or a log_fn)."""
+    if cfg.progress_every is not None:
+        return cfg.progress_every if cfg.progress_every > 0 else None
+    if not cfg.verbose and cfg.log_fn is None:
+        return None
+    if max_epochs <= 10:
+        return None
+    patience = cfg.early_stopping_patience or 10
+    return max(10, min(patience, 50))
 
 
 def _eval_params_fn(cfg: PipelineConfig):
@@ -318,12 +473,13 @@ def _fit_unimodal_stage(
     source = device_data.pad_rows(source, n_bucket)
     class_ = device_data.pad_rows(class_, n_bucket)
 
-    repl, plan_sharding = _dp_shardings(cfg)
+    mesh, repl, plan_sharding = _dp_shardings(cfg)
     if repl is not None:
-        # data parallelism: dataset + params replicated, plans batch-sharded;
-        # GSPMD inserts the gradient all-reduce over the 'data' mesh axis
+        # data parallelism: dataset replicated, plans batch-sharded; GSPMD
+        # inserts the gradient all-reduce over the 'data' mesh axis. The
+        # TrainState is replicated (dp) or per-leaf sharded (--fsdp).
         data, source, class_ = (jax.device_put(a, repl) for a in (data, source, class_))
-        ts = jax.device_put(ts, repl)
+        ts = _place_train_state(cfg, mesh, repl, ts)
 
     def _plan_arrays(idx, mask):
         idx, mask = jnp.asarray(idx), jnp.asarray(mask)
@@ -366,6 +522,8 @@ def _fit_unimodal_stage(
             aot_dir=cfg.aot_dir,
             aot_desc=f"uni|beta={beta}|{_aot_cfg_desc(cfg)}|{aot_extra}",
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
+            progress_every=_progress_chunk(cfg, max_epochs),
+            log_steps=cfg.log_every_step,
         ))
 
     # Host-loop path only (--fit-loop host / --resume): per-epoch jitted
@@ -438,12 +596,12 @@ def _fit_multimodal_stage(
     source = device_data.pad_rows(source, n_bucket)
     class_ = device_data.pad_rows(class_, n_bucket)
 
-    repl, plan_sharding = _dp_shardings(cfg)
+    mesh, repl, plan_sharding = _dp_shardings(cfg)
     if repl is not None:
         wave, isi, source, class_ = (
             jax.device_put(a, repl) for a in (wave, isi, source, class_)
         )
-        ts = jax.device_put(ts, repl)
+        ts = _place_train_state(cfg, mesh, repl, ts)
 
     def _plan_arrays(idx, mask):
         idx, mask = jnp.asarray(idx), jnp.asarray(mask)
@@ -487,6 +645,8 @@ def _fit_multimodal_stage(
             aot_desc=(f"mm|beta={cfg.beta}|w={cfg.mod1_weight},{cfg.mod2_weight}|"
                       f"{_aot_cfg_desc(cfg)}|{aot_extra}"),
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
+            progress_every=_progress_chunk(cfg, max_epochs),
+            log_steps=cfg.log_every_step,
         ))
 
     # Host-loop path only (--fit-loop host / --resume).
@@ -546,13 +706,32 @@ def _finetune_split_indices(cfg: PipelineConfig, n: int, key) -> Tuple[np.ndarra
 
 
 def _dp_shardings(cfg: PipelineConfig):
-    """(replicated, plan) NamedShardings for cfg.dp_devices, or (None, None)."""
+    """(mesh, replicated, plan) for cfg.dp_devices, or (None, None, None)."""
     if not cfg.dp_devices or cfg.dp_devices <= 1:
-        return None, None
+        if cfg.fsdp:
+            raise ValueError("--fsdp requires --dp-devices > 1 (a device mesh)")
+        return None, None, None
     from hippie_tpu.parallel import mesh as pmesh
 
     mesh = pmesh.make_mesh(cfg.dp_devices)
-    return pmesh.replicated(mesh), pmesh.batch_sharded(mesh, batch_axis=1, ndim=2)
+    return mesh, pmesh.replicated(mesh), pmesh.batch_sharded(mesh, batch_axis=1, ndim=2)
+
+
+def _place_train_state(cfg: PipelineConfig, mesh, repl, ts: step.TrainState) -> step.TrainState:
+    """Mesh placement for a stage's TrainState: replicated for plain data
+    parallelism, or ZeRO-style per-leaf sharding of params + optimizer state
+    over the 'data' axis with --fsdp (parallel/mesh.py:49-73; BN trees are
+    tiny and stay replicated). GSPMD all-gathers shards on use and keeps the
+    optimizer update sharded."""
+    if not cfg.fsdp:
+        return jax.device_put(ts, repl)
+    from hippie_tpu.parallel import mesh as pmesh
+
+    return step.TrainState(
+        pmesh.shard_params_fsdp(mesh, ts.params),
+        jax.device_put(ts.bn_state, repl),
+        pmesh.shard_params_fsdp(mesh, ts.opt_state),
+    )
 
 
 def _stage_resume_dir(cfg: PipelineConfig, stage: str) -> Optional[str]:
@@ -561,6 +740,13 @@ def _stage_resume_dir(cfg: PipelineConfig, stage: str) -> Optional[str]:
     # Keyed by dataset: stage fit states have identical pytree shapes across
     # targets, so a dataset-agnostic path would silently resume target B from
     # target A's saved state (e.g. in scripts/sweep_targets.py --resume).
+    legacy = os.path.join(cfg.checkpoint_dir, "resume", stage)
+    if os.path.isdir(legacy) and cfg.verbose:
+        print(
+            f"NOTE: ignoring pre-round-2 resume state at {legacy} "
+            f"(resume dirs are now keyed by dataset); delete it or move it to "
+            f"{os.path.join(cfg.checkpoint_dir, 'resume', cfg.dataset, stage)}"
+        )
     return os.path.join(cfg.checkpoint_dir, "resume", cfg.dataset, stage)
 
 
@@ -621,6 +807,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     trackers: Dict[str, BestTracker] = {}
     states: Dict[str, step.TrainState] = {}
     templates: Dict[str, Tuple] = {}
+    prev_opts: Dict[str, Any] = {}  # schedule-free continuation (per modality)
 
     for mi, modality in enumerate(("wave", "time")):
         out_size = 50 if modality == "wave" else 100
@@ -656,6 +843,9 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         best_p = tracker.best_params if tracker.best_params is not None else result.state.params
         best_bn = tracker.best_bn if tracker.best_bn is not None else result.state.bn_state
         states[modality] = step.TrainState(best_p, best_bn, None)
+        prev_opts[modality] = (
+            tracker.best_opt if tracker.best_params is not None else result.best_opt_state
+        )
         trackers[modality] = tracker
 
     # ---------------- Stage 2: unsupervised fine-tune on the target --------
@@ -675,7 +865,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             clip = None if modality == "wave" else cfg.gradient_clip_val
             tx = optim.make_optimizer(ft_lr, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
             st = states[modality]
-            ts = _fork_state(st.params, st.bn_state, tx)
+            ts = _stage_fork(cfg, st.params, st.bn_state, tx, prev_opts.get(modality))
             if cfg.verbose:
                 print(f"[stage 2] fine-tuning {modality} model on {cfg.dataset} (lr={ft_lr})")
             with timer.stage(f"finetune_{modality}"):
@@ -687,7 +877,8 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                     stage_seed=20 + mi,
                     resume_dir=_stage_resume_dir(cfg, f"finetune_{modality}"),
                     lr=ft_lr,
-                 aot_extra=f"clip={clip}",)
+                    aot_extra=f"clip={clip}",
+                )
             with timer.stage("ckpt_save"):
                 trackers[modality].update_from_fit(result, templates[modality], (ft_lr, cfg.weight_decay))
             # Unimodal stage-2 embeddings use the LAST-epoch model (train_model.py:235).
@@ -737,16 +928,21 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         )
         with timer.stage("setup"):
             template = _init_unimodal(jax.random.fold_in(root, 200 + mi), cfg_m)
-            # Load the cross-stage best ckpt minus the class embedding (quirk Q10).
-            with timer.stage("ckpt_save"):
-                trackers[modality].flush()
-            loaded = ckpt_mod.load_lightning_ckpt(trackers[modality].path)
-            params, bn, _, _ = ckpt_mod.from_torch_state_dict(
-                loaded["state_dict"], template[0], template[1],
-                drop_keys=("class_embedding.weight",),
-            )
+            # Seed from the cross-stage best trees minus the class embedding
+            # (quirk Q10) — the device-resident equivalent of the reference's
+            # reload-best-ckpt detour (train_model.py:333-347); the .ckpt
+            # write itself happens off the critical path (flush_async below).
+            tk = trackers[modality]
+            src_p = tk.best_params if tk.best_params is not None else states[modality].params
+            src_bn = tk.best_bn if tk.best_bn is not None else states[modality].bn_state
+            params, bn = _seed_from_best(src_p, src_bn, template)
             tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
-            ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
+            ts = (_sf_fork_state(params, bn, tx, tk.best_opt, drop=("class_embedding",))
+                  if cfg.optimizer == "schedule-free" and tk.best_opt is not None
+                  else step.TrainState(params, bn, jax.jit(tx.init)(params)))
+        # Stage-1/2 trackers are final now: overlap their ckpt writes with the
+        # supervised fits instead of serializing ~15-60 s of host I/O here.
+        trackers[modality].flush_async()
         stream = sampling.balanced_indices(label_train, seed=cfg.seed)
         train_stream = np.asarray(s_tr)[stream]
         tracker = BestTracker(
@@ -763,9 +959,11 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 fixed_train_stream=train_stream, stage_seed=30 + mi,
                 resume_dir=_stage_resume_dir(cfg, f"supervised_{modality}"),
                 lr=ft_lr,
-             aot_extra=f"clip={cfg.gradient_clip_val}",)
+                aot_extra=f"clip={cfg.gradient_clip_val}",
+            )
         with timer.stage("ckpt_save"):
             tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
+            tracker.flush_async()  # overlaps the eval / export phase below
         best_p = tracker.best_params if tracker.best_params is not None else result.state.params
         best_bn = tracker.best_bn if tracker.best_bn is not None else result.state.bn_state
         sup_states[modality] = step.TrainState(best_p, best_bn, None)
@@ -889,7 +1087,8 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             use_class_labels=False, shuffle_train=True, stage_seed=10,
             resume_dir=_stage_resume_dir(cfg, "pretrain_joint"),
             lr=cfg.learning_rate,
-         aot_extra=f"clip={cfg.gradient_clip_val}",)
+            aot_extra=f"clip={cfg.gradient_clip_val}",
+        )
     tracker.update_from_fit(result, template, (cfg.learning_rate, cfg.weight_decay))
     # Fallback to the last state for the max_epochs=0 edge (tracker empty),
     # mirroring the unimodal stage-1 guard.
@@ -898,6 +1097,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         tracker.best_bn if tracker.best_bn is not None else result.state.bn_state,
         None,
     )
+    prev_opt = tracker.best_opt if tracker.best_params is not None else result.best_opt_state
 
     target = load_dataset(cfg, cfg.dataset, dropna=True)
     target_source_id = registry.DATASET_SOURCE_IDS.get(cfg.dataset, 0)
@@ -910,7 +1110,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     if cfg.finetune_without_labels:
         ft_tr, ft_va = _finetune_split_indices(cfg, len(target), jax.random.fold_in(root, 1))
         tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
-        ts = _fork_state(state.params, state.bn_state, tx)
+        ts = _stage_fork(cfg, state.params, state.bn_state, tx, prev_opt)
         if cfg.verbose:
             print(f"[stage 2] fine-tuning joint model on {cfg.dataset} (lr={ft_lr})")
         with timer.stage("finetune_joint"):
@@ -922,7 +1122,8 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
                 shuffle_train=False, stage_seed=20,
                 resume_dir=_stage_resume_dir(cfg, "finetune_joint"),
                 lr=ft_lr,
-             aot_extra=f"clip={cfg.gradient_clip_val}",)
+                aot_extra=f"clip={cfg.gradient_clip_val}",
+            )
         tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         # Multimodal stage 2 reloads the best ckpt and embeds the fine-tune
         # TEST split (…multimodal.py:772-777).
@@ -957,13 +1158,16 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         num_blocks=tuple(cfg.num_blocks),
     )
     template = _init_multimodal(jax.random.fold_in(root, 200), mm_cfg_sup)
-    tracker.flush()
-    loaded = ckpt_mod.load_lightning_ckpt(tracker.path)
-    params, bn, _, _ = ckpt_mod.from_torch_state_dict(
-        loaded["state_dict"], template[0], template[1], drop_keys=("class_embedding.weight",)
-    )
+    # Direct device-resident handoff of the cross-stage best trees (see
+    # _seed_from_best); the stage-1/2 ckpt write overlaps the supervised fit.
+    src_p = tracker.best_params if tracker.best_params is not None else state.params
+    src_bn = tracker.best_bn if tracker.best_bn is not None else state.bn_state
+    params, bn = _seed_from_best(src_p, src_bn, template)
+    tracker.flush_async()
     tx = optim.make_optimizer(ft_lr, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
-    ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
+    ts = (_sf_fork_state(params, bn, tx, tracker.best_opt, drop=("class_embedding",))
+          if cfg.optimizer == "schedule-free" and tracker.best_opt is not None
+          else step.TrainState(params, bn, jax.jit(tx.init)(params)))
     stream = sampling.balanced_indices(label_train, seed=cfg.seed)
     train_stream = np.asarray(s_tr)[stream]
     labels_dev = jnp.asarray(sup_labels.astype(np.int32))
@@ -982,8 +1186,10 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             fixed_train_stream=train_stream, stage_seed=30,
             resume_dir=_stage_resume_dir(cfg, "supervised_joint"),
             lr=ft_lr,
-         aot_extra=f"clip={cfg.gradient_clip_val}",)
+            aot_extra=f"clip={cfg.gradient_clip_val}",
+        )
     sup_tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
+    sup_tracker.flush_async()  # overlaps the eval / export phase below
     best_p = sup_tracker.best_params if sup_tracker.best_params is not None else result.state.params
     best_bn = sup_tracker.best_bn if sup_tracker.best_bn is not None else result.state.bn_state
 

@@ -1,14 +1,27 @@
 """Embedding-serving HTTP microservice (production/serving surface).
 
-Loads the dual wave/time checkpoints once, keeps the models device-resident,
-and serves embedding requests over plain HTTP (stdlib only — no extra deps):
+Loads the model(s) once, keeps them device-resident, and serves embedding
+requests over plain HTTP (stdlib only — no extra deps):
 
   GET  /healthz  -> {"status": "ok", ...model info}
-  GET  /stats    -> request counters + latency aggregates
+  GET  /stats    -> request counters + latency aggregates (p50/p99)
   POST /embed    -> body {"waveforms": [[...]], "isi_dists": [[...]],
                           "source": int (optional, default 0),
                           "normalize": bool (optional, default false)}
-                    reply {"waveform": [[z]], "isi": [[z]], "joint": [[2z]]}
+                    dual mode reply  {"waveform": [[z]], "isi": [[z]], "joint": [[2z]]}
+                    joint mode reply {"joint": [[z]]}
+
+Model backends:
+  --wave-checkpoint/--time-checkpoint   dual unimodal Lightning ckpts
+  --wave-artifact/--time-artifact       exported StableHLO artifacts
+  --joint-checkpoint / --joint-artifact the MultiModalCVAE joint model
+
+Concurrency discipline: there is ONE device; concurrent requests must not
+race it (concurrent TPU dispatch wrecks both latencies). All device work
+funnels through a single dispatch worker; requests that arrive while a batch
+is in flight are COALESCED — compatible pending requests (same row widths +
+normalize flag) are concatenated into one device call and the results split
+per request. Under an N-client burst this turns N dispatches into ~1-2.
 
 Raw rows may have any width — the same exact linear-resample-to-50/100
 preprocessing as training runs on device per request. Inputs are padded to
@@ -17,15 +30,18 @@ power-of-two row buckets so steady-state requests reuse compiled executables
 
 Usage:
   python scripts/serve_embeddings.py --wave-checkpoint a.ckpt \
-      --time-checkpoint b.ckpt --z_dim 10 --port 8477
+      --time-checkpoint b.ckpt --port 8477
+  python scripts/serve_embeddings.py --joint-artifact joint.hippie
   (or `hippie-tpu serve ...`)
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import os
+import queue
 import sys
 import threading
 import time
@@ -38,13 +54,19 @@ import numpy as np
 
 def build_parser():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--z_dim", type=int, default=10)
+    parser.add_argument("--z_dim", type=int, default=10,
+                        help="fallback when geometry cannot be inferred from the model file")
     parser.add_argument("--wave-checkpoint", type=str, default=None)
     parser.add_argument("--time-checkpoint", type=str, default=None)
     parser.add_argument("--wave-artifact", type=str, default=None,
                         help="exported .hippie artifact (scripts/export_model.py) "
                              "instead of --wave-checkpoint: no torch, no retrace")
     parser.add_argument("--time-artifact", type=str, default=None)
+    parser.add_argument("--joint-checkpoint", type=str, default=None,
+                        help="serve a MultiModalCVAE joint checkpoint (reply has "
+                             "'joint' embeddings only)")
+    parser.add_argument("--joint-artifact", type=str, default=None,
+                        help="exported multimodal .hippie artifact")
     parser.add_argument("--num-sources", type=int, default=5)
     parser.add_argument("--num-classes", type=int, default=5)
     parser.add_argument("--host", type=str, default="127.0.0.1")
@@ -54,17 +76,43 @@ def build_parser():
     return parser
 
 
+class _Item:
+    __slots__ = ("wf", "isi", "source", "normalize", "event", "out", "err", "t0")
+
+    def __init__(self, wf, isi, source, normalize):
+        self.wf = wf
+        self.isi = isi
+        self.source = source
+        self.normalize = normalize
+        self.event = threading.Event()
+        self.out = None
+        self.err = None
+        self.t0 = time.perf_counter()
+
+    def key(self):
+        # requests are row-concatenable iff widths and the (per-row, but
+        # group-applied) normalize flag agree; source is per-row, not keyed
+        return (self.wf.shape[1], self.isi.shape[1], bool(self.normalize))
+
+
 class EmbeddingService:
-    """Checkpoint-backed embedding engine shared by all server threads."""
+    """Model-backed embedding engine shared by all server threads.
+
+    All device work runs on ONE dispatch worker thread; HTTP threads enqueue
+    and wait. Pending compatible requests are coalesced into a single device
+    call (see module docstring).
+    """
 
     def __init__(self, wave_ckpt=None, time_ckpt=None, *, z_dim: int,
                  num_sources: int = 5, num_classes: int = 5,
-                 wave_artifact=None, time_artifact=None):
+                 wave_artifact=None, time_artifact=None,
+                 joint_ckpt=None, joint_artifact=None):
         from hippie_tpu.utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
         import jax
 
+        from hippie_tpu import export as hexport
         from hippie_tpu.models import cvae
         from hippie_tpu.train import checkpoint as ckpt_mod
 
@@ -73,86 +121,216 @@ class EmbeddingService:
         self.requests = 0
         self.rows_embedded = 0
         self.total_latency = 0.0
+        self.coalesced_requests = 0  # served as part of a multi-request batch
+        self.device_dispatches = 0
+        self._latencies = collections.deque(maxlen=8192)
 
-        # Each modality is served either from a Lightning checkpoint (library
-        # embed path) or from an exported StableHLO artifact (hippie_tpu.
-        # export — already traced/lowered, symbolic batch, no torch needed).
-        self._embed_fns = {}
-        for name, out_size, ckpt, artifact in (
-            ("wave", 50, wave_ckpt, wave_artifact),
-            ("time", 100, time_ckpt, time_artifact),
+        if (joint_ckpt or joint_artifact) and (
+            wave_ckpt or time_ckpt or wave_artifact or time_artifact
         ):
-            if artifact is not None:
-                from hippie_tpu import export as hexport
-                from hippie_tpu.evaluate.embeddings import _bucket, _pad_rows
+            raise ValueError("--joint-* is exclusive with the wave/time model flags")
+        self.mode = "joint" if (joint_ckpt or joint_artifact) else "dual"
 
-                call, manifest = hexport.load_artifact(artifact)
+        self._embed_fns = {}
+        if self.mode == "joint":
+            if joint_artifact is not None:
+                call, manifest = hexport.load_artifact(joint_artifact)
+                if manifest.get("modality") != "multimodal":
+                    raise ValueError(
+                        f"--joint-artifact {joint_artifact} is not a multimodal "
+                        f"export (modality={manifest.get('modality')!r})"
+                    )
                 self.z_dim = int(manifest.get("z_dim", self.z_dim))
-
-                def _artifact_embed(data, src, call=call):
-                    # Same power-of-two row bucketing as the checkpoint path:
-                    # Exported.call compiles per concrete shape, so raw N would
-                    # pay a fresh XLA compile per distinct request size. Eval
-                    # mode means pad rows cannot influence real rows.
-                    n = data.shape[0]
-                    b = _bucket(n)
-                    out = call(_pad_rows(data, b), _pad_rows(src, b))
-                    return out[:n]
-
-                self._embed_fns[name] = _artifact_embed
-            elif ckpt is not None:
-                cfg = cvae.CVAEConfig(z_dim=z_dim, output_size=out_size, class_hidden_dim=5,
-                                      num_sources=num_sources, num_classes=num_classes)
-                template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
-                payload = ckpt_mod.load_lightning_ckpt(ckpt)
-                params, bn, _, _ = ckpt_mod.from_torch_state_dict(
-                    payload["state_dict"], template[0], template[1]
+                self._embed_fns["joint"] = self._bucketed_artifact_call(call)
+            else:
+                payload = ckpt_mod.load_lightning_ckpt(joint_ckpt)
+                sd = payload["state_dict"]
+                cfg = hexport.infer_multimodal_config(sd)
+                self.z_dim = cfg.z_dim
+                template = jax.jit(cvae.multimodal_cvae_init, static_argnums=1)(
+                    jax.random.PRNGKey(0), cfg
                 )
+                params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
 
-                def _lib_embed(data, src, params=params, bn=bn):
+                def _joint_embed(wave, isi, src, params=params, bn=bn):
                     from hippie_tpu.evaluate import embeddings as emb
 
-                    return np.asarray(emb.embed_unimodal(params, bn, data, src))
+                    return np.asarray(emb.embed_multimodal(params, bn, wave, isi, src))
 
-                self._embed_fns[name] = _lib_embed
-            else:
-                raise ValueError(f"provide --{name}-checkpoint or --{name}-artifact")
+                self._embed_fns["joint"] = _joint_embed
+        else:
+            # Each modality served from a Lightning checkpoint (library embed
+            # path; geometry inferred from the state_dict's own shapes) or
+            # from an exported StableHLO artifact (already traced/lowered,
+            # symbolic batch, no torch needed).
+            for name, ckpt, artifact in (
+                ("wave", wave_ckpt, wave_artifact),
+                ("time", time_ckpt, time_artifact),
+            ):
+                if artifact is not None:
+                    call, manifest = hexport.load_artifact(artifact)
+                    self.z_dim = int(manifest.get("z_dim", self.z_dim))
+                    self._embed_fns[name] = self._bucketed_artifact_call(call)
+                elif ckpt is not None:
+                    payload = ckpt_mod.load_lightning_ckpt(ckpt)
+                    sd = payload["state_dict"]
+                    try:
+                        cfg = hexport.infer_unimodal_config(sd)
+                        self.z_dim = cfg.z_dim
+                    except KeyError:
+                        out_size = 50 if name == "wave" else 100
+                        cfg = cvae.CVAEConfig(
+                            z_dim=z_dim, output_size=out_size, class_hidden_dim=5,
+                            num_sources=num_sources, num_classes=num_classes,
+                        )
+                    template = jax.jit(cvae.unimodal_cvae_init, static_argnums=1)(
+                        jax.random.PRNGKey(0), cfg
+                    )
+                    params, bn, _, _ = ckpt_mod.from_torch_state_dict(
+                        sd, template[0], template[1]
+                    )
+
+                    def _lib_embed(data, src, params=params, bn=bn):
+                        from hippie_tpu.evaluate import embeddings as emb
+
+                        return np.asarray(emb.embed_unimodal(params, bn, data, src))
+
+                    self._embed_fns[name] = _lib_embed
+                else:
+                    raise ValueError(f"provide --{name}-checkpoint or --{name}-artifact")
+
+        # The single-dispatch queue: all device work funnels through here.
+        self._queue: "queue.SimpleQueue[_Item]" = queue.SimpleQueue()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+
+    @staticmethod
+    def _bucketed_artifact_call(call):
+        from hippie_tpu.evaluate.embeddings import _bucket, _pad_rows
+
+        def run(*arrays):
+            # Power-of-two row bucketing: Exported.call compiles per concrete
+            # shape, so raw N would pay a fresh XLA compile per distinct
+            # request size. Eval mode means pad rows cannot influence real
+            # rows; they are sliced off.
+            n = arrays[0].shape[0]
+            b = _bucket(n)
+            out = call(*(_pad_rows(a, b) for a in arrays))
+            return out[:n]
+
+        return run
+
+    # ------------------------------------------------------------------
+    # Dispatch worker
+    # ------------------------------------------------------------------
+
+    def _drain(self):
+        while True:
+            first = self._queue.get()
+            batch = [first]
+            while True:  # coalesce whatever arrived while we were busy
+                try:
+                    batch.append(self._queue.get_nowait())
+                except queue.Empty:
+                    break
+            groups: dict = {}
+            for item in batch:
+                groups.setdefault(item.key(), []).append(item)
+            for items in groups.values():
+                try:
+                    self._run_group(items)
+                except BaseException as e:  # report to every waiter
+                    for it in items:
+                        it.err = e
+                        it.event.set()
+
+    def _run_group(self, items):
+        """ONE device call for a group of row-concatenable requests."""
+        import jax.numpy as jnp
+
+        from hippie_tpu.evaluate.embeddings import _bucket
+        from hippie_tpu.ops import preprocess
+
+        counts = [len(it.wf) for it in items]
+        n = sum(counts)
+        b = _bucket(n)
+        wf_p = np.zeros((b, items[0].wf.shape[1]), np.float32)
+        isi_p = np.zeros((b, items[0].isi.shape[1]), np.float32)
+        src_p = np.zeros((b,), np.int32)
+        off = 0
+        for it, c in zip(items, counts):
+            wf_p[off:off + c] = it.wf
+            isi_p[off:off + c] = it.isi
+            src_p[off:off + c] = int(it.source)
+            off += c
+        normalize = items[0].normalize
+        wave = preprocess.preprocess_waveforms(jnp.asarray(wf_p), normalize=normalize)
+        isi = preprocess.preprocess_isi(jnp.asarray(isi_p), normalize=normalize)
+        src = jnp.asarray(src_p)
+        if self.mode == "joint":
+            j = np.asarray(self._embed_fns["joint"](wave, isi, src))
+            w_all = i_all = None
+        else:
+            w_all = np.asarray(self._embed_fns["wave"](wave, src))
+            i_all = np.asarray(self._embed_fns["time"](isi, src))
+            j = np.concatenate([w_all, i_all], axis=1)
+        off = 0
+        now = time.perf_counter()
+        with self._lock:
+            self.device_dispatches += 1
+            if len(items) > 1:
+                self.coalesced_requests += len(items)
+        for it, c in zip(items, counts):
+            sl = slice(off, off + c)
+            it.out = (
+                None if w_all is None else w_all[sl],
+                None if i_all is None else i_all[sl],
+                j[sl],
+                now - it.t0,
+            )
+            off += c
+            it.event.set()
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
 
     def warmup(self, rows: int):
         if rows > 0:
             self.embed(np.zeros((rows, 46), np.float32), np.zeros((rows, 100), np.float32), 0, False)
 
     def embed(self, waveforms: np.ndarray, isi_dists: np.ndarray, source: int, normalize: bool):
-        import jax.numpy as jnp
-
-        from hippie_tpu.evaluate.embeddings import _bucket
-        from hippie_tpu.ops import preprocess
-
-        t0 = time.perf_counter()
-        # Bucket the RAW rows before preprocessing: every stage downstream
-        # (preprocess included) compiles per concrete shape, so without this
-        # the first request of each new row count paid a fresh remote compile
-        # (~5 s measured). Preprocessing is row-local (log1p / per-sample
-        # min-max / per-row resample) and embedding runs in eval mode, so
-        # zero-pad rows cannot influence real rows; they are sliced off.
-        n = len(waveforms)
-        b = _bucket(n)
-        wf_p = np.zeros((b, waveforms.shape[1]), np.float32)
-        wf_p[:n] = waveforms
-        isi_p = np.zeros((b, isi_dists.shape[1]), np.float32)
-        isi_p[:n] = isi_dists
-        wave = preprocess.preprocess_waveforms(jnp.asarray(wf_p), normalize=normalize)
-        isi = preprocess.preprocess_isi(jnp.asarray(isi_p), normalize=normalize)
-        src = jnp.full((b,), int(source), jnp.int32)
-        w = np.asarray(self._embed_fns["wave"](wave, src))[:n]
-        i = np.asarray(self._embed_fns["time"](isi, src))[:n]
-        j = np.concatenate([w, i], axis=1)
-        dt = time.perf_counter() - t0
+        """Enqueue one request and wait; returns (wave, isi, joint, seconds).
+        wave/isi are None in joint mode."""
+        item = _Item(np.asarray(waveforms, np.float32),
+                     np.asarray(isi_dists, np.float32), source, normalize)
+        self._queue.put(item)
+        item.event.wait()
+        if item.err is not None:
+            raise item.err
+        w, i, j, dt = item.out
         with self._lock:
             self.requests += 1
-            self.rows_embedded += len(w)
+            self.rows_embedded += len(j)
             self.total_latency += dt
+            self._latencies.append(dt)
         return w, i, j, dt
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = np.asarray(self._latencies, np.float64)
+            return {
+                "mode": self.mode,
+                "requests": self.requests,
+                "rows_embedded": self.rows_embedded,
+                "device_dispatches": self.device_dispatches,
+                "coalesced_requests": self.coalesced_requests,
+                "mean_latency_ms": round(
+                    1000 * self.total_latency / max(self.requests, 1), 3
+                ),
+                "p50_latency_ms": round(float(np.percentile(lat, 50)) * 1000, 3) if lat.size else 0.0,
+                "p99_latency_ms": round(float(np.percentile(lat, 99)) * 1000, 3) if lat.size else 0.0,
+            }
 
 
 def make_handler(service: EmbeddingService):
@@ -170,16 +348,10 @@ def make_handler(service: EmbeddingService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok", "z_dim": service.z_dim})
+                self._reply(200, {"status": "ok", "z_dim": service.z_dim,
+                                  "mode": service.mode})
             elif self.path == "/stats":
-                with service._lock:
-                    self._reply(200, {
-                        "requests": service.requests,
-                        "rows_embedded": service.rows_embedded,
-                        "mean_latency_ms": round(
-                            1000 * service.total_latency / max(service.requests, 1), 3
-                        ),
-                    })
+                self._reply(200, service.stats())
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -203,12 +375,11 @@ def make_handler(service: EmbeddingService):
                 self._reply(400, {"error": str(e)})
                 return
             w, i, j, dt = service.embed(wf, isi, source, normalize)
-            self._reply(200, {
-                "waveform": np.asarray(w).tolist(),
-                "isi": np.asarray(i).tolist(),
-                "joint": np.asarray(j).tolist(),
-                "latency_ms": round(dt * 1000, 3),
-            })
+            out = {"joint": np.asarray(j).tolist(), "latency_ms": round(dt * 1000, 3)}
+            if w is not None:
+                out["waveform"] = np.asarray(w).tolist()
+                out["isi"] = np.asarray(i).tolist()
+            self._reply(200, out)
 
     return Handler
 
@@ -219,11 +390,12 @@ def main(argv=None):
         args.wave_checkpoint, args.time_checkpoint,
         z_dim=args.z_dim, num_sources=args.num_sources, num_classes=args.num_classes,
         wave_artifact=args.wave_artifact, time_artifact=args.time_artifact,
+        joint_ckpt=args.joint_checkpoint, joint_artifact=args.joint_artifact,
     )
     print("warming up...")
     service.warmup(args.warmup_rows)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
-    print(f"serving embeddings on http://{args.host}:{args.port} (POST /embed)")
+    print(f"serving {service.mode} embeddings on http://{args.host}:{args.port} (POST /embed)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

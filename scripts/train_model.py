@@ -68,13 +68,33 @@ def build_parser():
                         help="VAE-loss kernel inside every train/eval step")
     parser.add_argument("--dp-devices", type=int, default=None,
                         help="data-parallel training over the first N devices (jax Mesh + GSPMD)")
-    parser.add_argument("--aot-dir", type=str, default=None,
-                        help="cache dir for AOT-exported stage-fit programs: later runs "
-                             "deserialize in ~0.2 s instead of re-tracing (~4-10 s each)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="with --dp-devices: shard params + optimizer state per-leaf over "
+                             "the mesh (ZeRO-style; GSPMD all-gathers on use) instead of "
+                             "replicating them — cuts per-chip memory ~1/N")
+    parser.add_argument("--aot-dir", type=str,
+                        default=os.path.join(os.path.expanduser("~"), ".cache", "hippie_tpu_aot"),
+                        help="cache dir for compiled stage-fit programs (serialized "
+                             "executables): later processes load in ~0.2 s, skipping "
+                             "trace, lowering AND backend compile; applies to "
+                             "--dp-devices runs too. Keys include a source hash, so "
+                             "edited code never replays stale programs. Pass '' to "
+                             "disable. Default: on (%(default)s)")
     parser.add_argument("--fit-loop", choices=("device", "host"), default="device",
                         help="stage fits as ONE on-device while_loop (zero per-epoch host "
                              "round trips; logs replayed post-stage) or the per-epoch host loop "
                              "(live prints; used automatically with --resume)")
+    parser.add_argument("--progress-every", type=int, default=None,
+                        help="device fit loop: run in N-epoch chunks with live per-epoch "
+                             "prints between chunks (identical trajectory; ~0.1 s/chunk "
+                             "overhead). Default: auto = patience-sized chunks on "
+                             "multi-epoch stages; 0 = single dispatch, logs replayed "
+                             "after the stage")
+    parser.add_argument("--log-every-step", action="store_true",
+                        help="with --log-file/--wandb: also record per-train-batch "
+                             "{train_loss_step, train_mse_step, train_kl_step} "
+                             "(the reference's per-step self.log granularity); "
+                             "device fit loop only")
     parser.add_argument("--opt-state-dtype", choices=("float32", "bfloat16"), default="float32",
                         help="Adam moment storage dtype; bfloat16 halves optimizer HBM traffic")
     parser.add_argument("--optimizer", choices=("adamw", "schedule-free"), default="adamw",
@@ -147,9 +167,12 @@ def run(args, model_type: str = "unimodal"):
         opt_state_dtype=(None if getattr(args, "opt_state_dtype", "float32") == "float32"
                          else args.opt_state_dtype),
         dp_devices=getattr(args, "dp_devices", None),
+        fsdp=getattr(args, "fsdp", False),
         fit_loop=getattr(args, "fit_loop", "device"),
+        progress_every=getattr(args, "progress_every", None),
+        log_every_step=getattr(args, "log_every_step", False),
         optimizer=getattr(args, "optimizer", "adamw"),
-        aot_dir=getattr(args, "aot_dir", None),
+        aot_dir=(getattr(args, "aot_dir", None) or None),
         log_fn=log_fn,
     )
 

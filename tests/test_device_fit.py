@@ -24,11 +24,12 @@ def _rel(a, b):
 
 def _tiny_stage(fit_loop, *, max_epochs=5, patience=None, shuffle=True,
                 use_class_labels=False, limit=None, seed=7, optimizer="adamw",
-                aot_dir=None):
+                aot_dir=None, progress_every=None, log_every_step=False):
     cfg = pipeline.PipelineConfig(
         verbose=False, fit_loop=fit_loop, early_stopping_patience=patience,
         limit_train_batches=limit, seed=seed, optimizer=optimizer,
-        aot_dir=aot_dir,
+        aot_dir=aot_dir, progress_every=progress_every,
+        log_every_step=log_every_step,
     )
     rng = np.random.default_rng(0)
     n = 52
@@ -96,6 +97,40 @@ def test_device_fit_early_stop_matches_host():
     assert r_host.epochs_run == r_dev.epochs_run
     assert r_host.best_epoch == r_dev.best_epoch
     np.testing.assert_allclose(r_dev.val_losses, r_host.val_losses, rtol=2e-5)
+
+
+def test_device_fit_chunked_progress_identical_trajectory():
+    """progress_every runs the SAME compiled fit in epoch chunks (live logs
+    between chunks); losses/best/early-stop must be bit-compatible with the
+    single-dispatch run, including when the stop fires mid-chunk."""
+    r_one, logs_one = _tiny_stage("device", max_epochs=9, patience=2, progress_every=0)
+    r_chk, logs_chk = _tiny_stage("device", max_epochs=9, patience=2, progress_every=2)
+    assert r_one.epochs_run == r_chk.epochs_run
+    assert r_one.best_epoch == r_chk.best_epoch
+    np.testing.assert_array_equal(r_chk.train_losses, r_one.train_losses)
+    np.testing.assert_array_equal(r_chk.val_losses, r_one.val_losses)
+    assert logs_chk == logs_one
+    for leaf_c, leaf_o in zip(
+        jax.tree_util.tree_leaves(r_chk.best_params),
+        jax.tree_util.tree_leaves(r_one.best_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf_c), np.asarray(leaf_o))
+
+
+def test_device_fit_per_step_logging():
+    """log_every_step emits one {train_loss_step,...} record per executed
+    train batch; their per-epoch mean equals the epoch train_loss record."""
+    res, logs = _tiny_stage("device", max_epochs=3, log_every_step=True)
+    epoch_recs = [l for l in logs if "train_loss" in l]
+    step_recs = [l for l in logs if "train_loss_step" in l]
+    nb = 3  # 40 train samples / batch 16 -> 3 executed batches (masked tail)
+    assert len(step_recs) == 3 * nb
+    assert [r["step"] for r in step_recs] == list(range(3 * nb))
+    for e in range(3):
+        mine = [r["train_loss_step"] for r in step_recs if r["epoch"] == e]
+        assert len(mine) == nb
+        want = next(r["train_loss"] for r in epoch_recs if r["epoch"] == e)
+        assert abs(float(np.mean(mine)) - want) < 2e-5 * max(1.0, abs(want))
 
 
 def test_device_fit_zero_epochs():
@@ -179,6 +214,46 @@ def test_aot_cached_fit_matches_and_reuses(tmp_path):
     mtime = os.path.getmtime(os.path.join(aot, files[0]))
     r_again, _ = _tiny_stage("device", aot_dir=aot)
     assert os.path.getmtime(os.path.join(aot, files[0])) == mtime  # reused
+    np.testing.assert_allclose(r_again.val_losses, r_aot.val_losses, rtol=1e-6)
+
+
+def test_aot_cache_covers_data_parallel(tmp_path):
+    """The executable-format AOT cache applies to --dp-devices runs too
+    (the round-2 jax.export format silently skipped them)."""
+    import os
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest")
+    from hippie_tpu.train import device_fit as dfit
+
+    if not dfit._have_exec_serialization():
+        pytest.skip("no serialize_executable in this jax")
+    aot = str(tmp_path / "aot_dp")
+
+    def run(aot_dir):
+        cfg = pipeline.PipelineConfig(verbose=False, fit_loop="device",
+                                      dp_devices=8, aot_dir=aot_dir)
+        rng = np.random.default_rng(0)
+        n = 52
+        data = jnp.asarray(rng.normal(size=(n, 50)).astype(np.float32))
+        source = jnp.zeros((n,), jnp.int32)
+        cfg_m = cvae.CVAEConfig(z_dim=4, output_size=50, num_blocks=(1, 1, 1, 1))
+        params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(1), cfg_m)
+        tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+        ts = step.TrainState(params, bn, tx.init(params))
+        return pipeline._fit_unimodal_stage(
+            cfg=cfg, ts=ts, tx=tx, data=data, source=source, class_=source,
+            train_indices=np.arange(40), val_indices=np.arange(40, n),
+            batch_size=16, max_epochs=3, beta=1.0,
+            use_class_labels=False, shuffle_train=True, stage_seed=3, lr=3e-3,
+        )
+
+    r_plain = run(None)
+    r_aot = run(aot)
+    files = [f for f in os.listdir(aot) if f.endswith(".jexec")]
+    assert len(files) == 1
+    np.testing.assert_allclose(r_aot.val_losses, r_plain.val_losses, rtol=2e-5)
+    r_again = run(aot)
     np.testing.assert_allclose(r_again.val_losses, r_aot.val_losses, rtol=1e-6)
 
 

@@ -132,6 +132,107 @@ def test_unimodal_pipeline_data_parallel(synth_root, tmp_path):
     assert os.path.exists(os.path.join(cfg.output_dir, "cellexplorer-celltype_joint_knn.csv"))
 
 
+def test_direct_handoff_bit_identical_to_ckpt_detour(tmp_path):
+    """Stage-3 seeding now grafts the tracker's device-resident best trees
+    directly (_seed_from_best); this must be BIT-identical to the old detour
+    of flush() -> load_lightning_ckpt -> from_torch_state_dict(strict=False,
+    drop class_embedding) that mirrors the reference's reload contract
+    (train_model.py:333-347, quirk Q10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hippie_tpu.models import cvae
+    from hippie_tpu.train import checkpoint as ckpt_mod
+    from hippie_tpu.train import loop, optim, pipeline, step
+
+    cfg_m = cvae.CVAEConfig(z_dim=3, output_size=50, class_hidden_dim=5,
+                            num_sources=7, num_classes=5, num_blocks=(1, 1, 1, 1))
+    key = jax.random.PRNGKey(0)
+    params, bn = cvae.unimodal_cvae_init(key, cfg_m)
+    # Fake a trained state: perturb every leaf so grafting mistakes can't hide
+    params = jax.tree_util.tree_map(lambda x: x + 0.125, params)
+    bn = jax.tree_util.tree_map(lambda x: x + 1 if jnp.issubdtype(x.dtype, jnp.integer) else x + 0.25, bn)
+
+    tx = optim.make_optimizer(1e-3, 0.01, None)
+    result = loop.FitResult(
+        state=step.TrainState(params, bn, tx.init(params)),
+        best_params=params, best_bn_state=bn, best_val_loss=0.5,
+        best_epoch=0, epochs_run=1, best_opt_state=tx.init(params),
+    )
+    tracker = pipeline.BestTracker(str(tmp_path / "m.ckpt"))
+    template5 = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
+    tracker.update_from_fit(result, template5, (1e-3, 0.01))
+
+    # stage-3 template: DIFFERENT num_classes (fresh class embedding)
+    cfg_sup = cvae.CVAEConfig(z_dim=3, output_size=50, class_hidden_dim=5,
+                              num_sources=7, num_classes=3, num_blocks=(1, 1, 1, 1))
+    template = cvae.unimodal_cvae_init(jax.random.PRNGKey(7), cfg_sup)
+
+    # old detour
+    tracker.flush()
+    loaded = ckpt_mod.load_lightning_ckpt(tracker.path)
+    det_p, det_bn, _, _ = ckpt_mod.from_torch_state_dict(
+        loaded["state_dict"], template[0], template[1],
+        drop_keys=("class_embedding.weight",),
+    )
+
+    # new direct handoff
+    dir_p, dir_bn = pipeline._seed_from_best(tracker.best_params, tracker.best_bn, template)
+
+    det_flat = ckpt_mod.flatten_interleaved(det_p, det_bn)
+    dir_flat = ckpt_mod.flatten_interleaved(dir_p, dir_bn)
+    assert list(det_flat) == list(dir_flat)  # same keys, same insertion order
+    for k in det_flat:
+        a, b = np.asarray(det_flat[k]), np.asarray(dir_flat[k])
+        assert a.dtype == b.dtype and a.shape == b.shape, k
+        assert np.array_equal(a, b), f"mismatch at {k}"
+    # the fresh class embedding comes from the stage-3 template in both
+    assert np.array_equal(
+        np.asarray(dir_p["class_embedding"]["weight"]),
+        np.asarray(template[0]["class_embedding"]["weight"]),
+    )
+    # and the graft returns copies — donation-safe w.r.t. the tracker's refs
+    assert dir_p["z_mean"]["weight"] is not tracker.best_params["z_mean"]["weight"]
+
+
+@pytest.mark.slow
+def test_unimodal_pipeline_fsdp(synth_root, tmp_path):
+    """--fsdp: params + optimizer state sharded per-leaf over the 8-device
+    mesh (ZeRO-style), data replicated, plans batch-sharded; same artifact
+    contract as the replicated dp path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest")
+    cfg = _base_cfg(synth_root, tmp_path, dp_devices=8, fsdp=True)
+    results = run_pipeline(cfg)
+    for kind in ("waveform", "isi", "joint"):
+        assert 0.0 <= results["best"][kind]["balanced_accuracy"] <= 1.0
+    assert os.path.exists(os.path.join(cfg.output_dir, "cellexplorer-celltype_joint_knn.csv"))
+
+
+def test_fsdp_requires_mesh(synth_root, tmp_path):
+    cfg = _base_cfg(synth_root, tmp_path, fsdp=True)  # no dp_devices
+    with pytest.raises(ValueError, match="fsdp"):
+        run_pipeline(cfg)
+
+
+@pytest.mark.slow
+def test_multimodal_pipeline_data_parallel(synth_root, tmp_path):
+    """--dp-devices with --model-type multimodal: the joint model's full
+    3-stage pipeline (incl. the balanced supervised stage) runs sharded over
+    the 8-device CPU mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest")
+    cfg = _base_cfg(synth_root, tmp_path, model_type="multimodal", dp_devices=8)
+    results = run_pipeline(cfg)
+    assert "joint" in results["best"]
+    assert 0.0 <= results["best"]["joint"]["balanced_accuracy"] <= 1.0
+    assert os.path.exists(os.path.join(cfg.output_dir, "cellexplorer-celltype_joint_knn.csv"))
+
+
 @pytest.mark.slow
 def test_multimodal_pipeline_end_to_end(synth_root, tmp_path):
     cfg = _base_cfg(synth_root, tmp_path, model_type="multimodal")

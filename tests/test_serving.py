@@ -130,3 +130,121 @@ def test_service_from_artifacts(tmp_path):
     want_i = np.asarray(emb.embed_unimodal(*trees["time"], isi_p, src))
     np.testing.assert_allclose(w, want_w, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(i, want_i, rtol=1e-5, atol=1e-6)
+
+
+def test_coalesced_group_matches_serial(server):
+    """The dispatch worker concatenates compatible pending requests into ONE
+    device call; per-request slices must equal what each request would get
+    served alone (row-local preprocessing + row-independent eval forward)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import serve_embeddings as se
+
+    _, service = server
+    rng = np.random.default_rng(3)
+    items = [
+        se._Item(rng.normal(size=(r, 46)).astype(np.float32),
+                 np.abs(rng.normal(size=(r, 80))).astype(np.float32),
+                 src, False)
+        for r, src in ((3, 0), (5, 2), (2, 1))
+    ]
+    before = service.device_dispatches
+    service._run_group(list(items))
+    assert service.device_dispatches == before + 1
+    for it in items:
+        assert it.event.is_set() and it.err is None
+        w, i, j, _ = it.out
+        sw, si, sj, _ = service.embed(it.wf, it.isi, it.source, it.normalize)
+        np.testing.assert_allclose(np.asarray(j), np.asarray(sj), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(sw), rtol=1e-5, atol=1e-6)
+
+
+def test_concurrent_clients(server):
+    """N concurrent HTTP clients: every reply must carry that client's own
+    rows' embeddings (no cross-request mixing), and the single-dispatch queue
+    must keep stats consistent."""
+    addr, service = server
+    rng = np.random.default_rng(4)
+    inputs = [
+        (rng.normal(size=(4, 46)).astype(np.float32),
+         np.abs(rng.normal(size=(4, 80))).astype(np.float32))
+        for _ in range(6)
+    ]
+    results = [None] * len(inputs)
+
+    def client(k):
+        wf, isi = inputs[k]
+        status, payload = _request(addr, "POST", "/embed",
+                                   {"waveforms": wf.tolist(), "isi_dists": isi.tolist()})
+        results[k] = (status, payload)
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(len(inputs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for k, (status, payload) in enumerate(results):
+        assert status == 200
+        wf, isi = inputs[k]
+        want_w, want_i, want_j, _ = service.embed(wf, isi, 0, False)
+        np.testing.assert_allclose(np.asarray(payload["joint"]), np.asarray(want_j),
+                                   rtol=1e-5, atol=1e-6)
+    status, stats = _request(addr, "GET", "/stats")
+    assert status == 200
+    assert stats["requests"] >= len(inputs)
+    assert stats["device_dispatches"] >= 1
+    assert "p50_latency_ms" in stats and "p99_latency_ms" in stats
+
+
+def test_joint_service_from_checkpoint(tmp_path):
+    """--joint-checkpoint serves the MultiModalCVAE: reply carries 'joint'
+    only, values match the library embed_multimodal path."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import serve_embeddings as se
+
+    cfg = cvae.MultiModalConfig(z_dim=4, num_blocks=(1, 1, 1, 1))
+    p, s = cvae.multimodal_cvae_init(jax.random.PRNGKey(9), cfg)
+    ckpt = str(tmp_path / "joint.ckpt")
+    ckpt_mod.save_lightning_ckpt(ckpt, p, s)
+
+    service = se.EmbeddingService(z_dim=99, joint_ckpt=ckpt)
+    assert service.mode == "joint" and service.z_dim == 4
+
+    rng = np.random.default_rng(5)
+    wf = rng.normal(size=(5, 46)).astype(np.float32)
+    isi = np.abs(rng.normal(size=(5, 80))).astype(np.float32)
+    w, i, j, _ = service.embed(wf, isi, 1, False)
+    assert w is None and i is None and j.shape == (5, 4)
+
+    import jax.numpy as jnp
+
+    from hippie_tpu.evaluate import embeddings as emb
+    from hippie_tpu.ops import preprocess
+
+    wave_p = preprocess.preprocess_waveforms(jnp.asarray(wf), normalize=False)
+    isi_p = preprocess.preprocess_isi(jnp.asarray(isi), normalize=False)
+    src = jnp.ones((5,), jnp.int32)
+    want = np.asarray(emb.embed_multimodal(p, s, wave_p, isi_p, src))
+    np.testing.assert_allclose(j, want, rtol=1e-5, atol=1e-6)
+
+    # HTTP contract: joint-only reply
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), se.make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        status, payload = _request(httpd.server_address, "POST", "/embed",
+                                   {"waveforms": wf.tolist(), "isi_dists": isi.tolist(),
+                                    "source": 1})
+        assert status == 200
+        assert "waveform" not in payload and "isi" not in payload
+        np.testing.assert_allclose(np.asarray(payload["joint"]), want, rtol=1e-4, atol=1e-5)
+        status, health = _request(httpd.server_address, "GET", "/healthz")
+        assert health["mode"] == "joint"
+    finally:
+        httpd.shutdown()
