@@ -21,7 +21,11 @@ def enable_persistent_cache(path: str | None = None) -> str:
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Cache EVERY compile, including sub-second tiny-op modules: on the
+        # remote-TPU (axon) backend each compile is a ~0.5-2 s service round
+        # trip regardless of module size, and a warm pipeline run otherwise
+        # re-pays ~100 tiny compiles (~60-100 s measured, round 3).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass

@@ -201,6 +201,13 @@ class EmbeddingService:
 
         # The single-dispatch queue: all device work funnels through here.
         self._queue: "queue.SimpleQueue[_Item]" = queue.SimpleQueue()
+        # Largest row bucket a device program has been compiled for. Coalesced
+        # groups are capped at this so a concurrency burst can't form a
+        # never-seen bucket and stall every waiter behind one fresh XLA
+        # compile (measured: a 16-client burst coalesced into a cold 1024-row
+        # bucket = 62 s p99). Grows when a single oversized request forces a
+        # larger bucket.
+        self._max_bucket = 0
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
 
@@ -237,12 +244,34 @@ class EmbeddingService:
             for item in batch:
                 groups.setdefault(item.key(), []).append(item)
             for items in groups.values():
-                try:
-                    self._run_group(items)
-                except BaseException as e:  # report to every waiter
-                    for it in items:
-                        it.err = e
-                        it.event.set()
+                for chunk in self._chunk_to_warm_buckets(items):
+                    try:
+                        self._run_group(chunk)
+                    except BaseException as e:  # report to every waiter
+                        for it in chunk:
+                            it.err = e
+                            it.event.set()
+
+    def _chunk_to_warm_buckets(self, items):
+        """Split a coalesced group so each chunk's padded bucket is one the
+        device already has a compiled program for. A single request larger
+        than every warm bucket runs alone (and warms its bucket)."""
+        from hippie_tpu.evaluate.embeddings import _bucket
+
+        cap = self._max_bucket
+        if cap <= 0:
+            return [items]
+        chunks, cur, cur_rows = [], [], 0
+        for it in items:
+            c = len(it.wf)
+            if cur and _bucket(cur_rows + c) > cap:
+                chunks.append(cur)
+                cur, cur_rows = [], 0
+            cur.append(it)
+            cur_rows += c
+        if cur:
+            chunks.append(cur)
+        return chunks
 
     def _run_group(self, items):
         """ONE device call for a group of row-concatenable requests."""
@@ -278,6 +307,7 @@ class EmbeddingService:
         now = time.perf_counter()
         with self._lock:
             self.device_dispatches += 1
+            self._max_bucket = max(self._max_bucket, b)
             if len(items) > 1:
                 self.coalesced_requests += len(items)
         for it, c in zip(items, counts):

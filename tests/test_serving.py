@@ -248,3 +248,42 @@ def test_joint_service_from_checkpoint(tmp_path):
         assert health["mode"] == "joint"
     finally:
         httpd.shutdown()
+
+
+def test_chunk_to_warm_buckets(server):
+    """Coalesced groups are split so each chunk pads to a bucket the device
+    has already compiled — a burst can't stall every waiter behind one fresh
+    compile of a never-seen (larger) bucket. A single oversized request still
+    runs alone and warms its bucket."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import serve_embeddings as se
+
+    _, service = server
+
+    def items(rows_list):
+        return [se._Item(np.zeros((r, 46), np.float32),
+                         np.zeros((r, 80), np.float32), 0, False)
+                for r in rows_list]
+
+    saved = service._max_bucket
+    try:
+        # no warm bucket recorded yet -> single chunk (nothing to cap to)
+        service._max_bucket = 0
+        assert [len(c) for c in service._chunk_to_warm_buckets(items([64] * 16))] == [16]
+
+        # warm bucket 512: 16x64=1024 rows must split into 512-row chunks
+        service._max_bucket = 512
+        chunks = service._chunk_to_warm_buckets(items([64] * 16))
+        assert [sum(len(it.wf) for it in c) for c in chunks] == [512, 512]
+
+        # a lone oversized request forms its own chunk (runs, warms 1024)
+        chunks = service._chunk_to_warm_buckets(items([700, 64]))
+        assert [sum(len(it.wf) for it in c) for c in chunks] == [700, 64]
+
+        # under-cap group stays whole
+        chunks = service._chunk_to_warm_buckets(items([64, 64]))
+        assert [sum(len(it.wf) for it in c) for c in chunks] == [128]
+    finally:
+        service._max_bucket = saved
