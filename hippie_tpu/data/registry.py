@@ -33,6 +33,73 @@ DATASET_SOURCE_IDS: Dict[str, int] = {
 NUM_SOURCES = max(DATASET_SOURCE_IDS.values()) + 1  # train_model.py:62
 
 
+def register_dataset(name: str, source_id: Optional[int] = None) -> int:
+    """Register a custom dataset name with the registry.
+
+    ``source_id`` defaults to the next free ID; sharing an existing ID makes
+    the dataset share that source embedding (like the cellexplorer pair).
+    Re-registering an existing name is a no-op when the IDs agree and an
+    error when they conflict. Updates ``NUM_SOURCES`` (the source-embedding
+    table size for subsequently-built models).
+    """
+    global NUM_SOURCES
+    prior = DATASET_SOURCE_IDS.get(name)
+    if prior is not None:
+        if source_id is not None and int(source_id) != prior:
+            raise ValueError(
+                f"dataset {name!r} already registered with source_id {prior}; "
+                f"got conflicting source_id {source_id}"
+            )
+        return prior
+    sid = NUM_SOURCES if source_id is None else int(source_id)
+    if sid < 0:
+        raise ValueError(f"source_id must be >= 0, got {sid}")
+    DATASET_SOURCE_IDS[name] = sid
+    NUM_SOURCES = max(NUM_SOURCES, sid + 1)
+    return sid
+
+
+def discover_datasets(data_root: str) -> list:
+    """Scan ``data_root`` for dataset directories and register unknown ones.
+
+    A dataset directory is any subdirectory containing both ``waveforms.csv``
+    and ``isi_dist.csv`` (the reference's on-disk contract, SURVEY.md §2.5).
+    Reference names keep their reference source IDs; new names get fresh
+    sequential IDs in sorted-name order (deterministic across processes). An
+    optional ``<data_root>/registry.json`` mapping ``{name: source_id}`` pins
+    IDs declaratively and takes precedence for those names. Idempotent.
+
+    Returns the newly registered names (sorted).
+    """
+    import json
+
+    pinned = {}
+    manifest = os.path.join(data_root, "registry.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            raw = json.load(f)
+        if not isinstance(raw, dict):
+            raise ValueError(f"{manifest} must be a JSON object of name -> source_id")
+        pinned = {str(k): int(v) for k, v in raw.items()}
+
+    found = []
+    if os.path.isdir(data_root):
+        for entry in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, entry)
+            if (os.path.isdir(d)
+                    and os.path.exists(os.path.join(d, "waveforms.csv"))
+                    and os.path.exists(os.path.join(d, "isi_dist.csv"))
+                    and entry not in DATASET_SOURCE_IDS):
+                found.append(entry)
+
+    # Pinned names first (their IDs may raise NUM_SOURCES), then the rest.
+    new = []
+    for name in sorted(found, key=lambda n: (n not in pinned, n)):
+        register_dataset(name, pinned.get(name))
+        new.append(name)
+    return sorted(new)
+
+
 def pretrain_pool(target_dataset: str, *, strict_leakage_guard: bool = False):
     """Names of datasets used for pretraining a given target (leave-target-out).
 

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hippie_tpu.models import cvae
+from hippie_tpu.utils import aot
 
 
 def zscore_rows(e: jax.Array) -> jax.Array:
@@ -75,7 +76,12 @@ def embed_unimodal(params, bn_state, data, source, class_=None) -> jnp.ndarray:
     data = _pad_rows(jnp.asarray(data), b)
     source = _pad_rows(jnp.asarray(source), b)
     dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
-    out = _embed_unimodal(params, bn_state, data, source, dummy, class_ is not None)
+    use_class = class_ is not None
+    # Routed through the process AOT executable cache (--aot-dir): a fresh
+    # pipeline process skips the embed program's trace+lower+compile.
+    out = aot.maybe_cached_call(
+        _embed_unimodal, (params, bn_state, data, source, dummy),
+        f"embed_unimodal|ucl={use_class}", {"use_class": use_class})
     return out[:n]
 
 
@@ -95,7 +101,10 @@ def embed_multimodal(params, bn_state, wave, isi, source, class_=None) -> jnp.nd
     isi = _pad_rows(jnp.asarray(isi), b)
     source = _pad_rows(jnp.asarray(source), b)
     dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
-    out = _embed_multimodal(params, bn_state, wave, isi, source, dummy, class_ is not None)
+    use_class = class_ is not None
+    out = aot.maybe_cached_call(
+        _embed_multimodal, (params, bn_state, wave, isi, source, dummy),
+        f"embed_multimodal|ucl={use_class}", {"use_class": use_class})
     return out[:n]
 
 

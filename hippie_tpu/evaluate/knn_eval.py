@@ -55,12 +55,13 @@ def knn_predict_sweep(
     if num_classes is None:
         num_classes = int(train_y.max()) + 1
     max_k = int(max(ks))
-    preds = _knn_sweep(
-        jnp.asarray(train_x, jnp.float32),
-        jnp.asarray(train_y),
-        jnp.asarray(test_x, jnp.float32),
-        max_k=max_k,
-        num_classes=int(num_classes),
-    )
+    from hippie_tpu.utils import aot
+
+    statics = {"max_k": max_k, "num_classes": int(num_classes)}
+    preds = aot.maybe_cached_call(
+        _knn_sweep,
+        (jnp.asarray(train_x, jnp.float32), jnp.asarray(train_y),
+         jnp.asarray(test_x, jnp.float32)),
+        f"knn_sweep|k={max_k}|C={int(num_classes)}", statics)
     preds = np.asarray(preds)
     return {k: preds[:, k - 1] for k in ks}

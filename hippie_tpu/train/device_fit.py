@@ -369,179 +369,18 @@ def device_fit(
 
 
 # ---------------------------------------------------------------------------
-# AOT program cache (jax.export) — skip per-process trace/lowering
+# AOT program cache — shared machinery lives in hippie_tpu.utils.aot
 # ---------------------------------------------------------------------------
 
-_REGISTERED_NT: set = set()
+from hippie_tpu.utils import aot as _aot  # noqa: E402
 
-
-def _register_io_namedtuples(tree) -> None:
-    """Register every namedtuple type in a pytree for jax.export
-    serialization (names are module.qualname — stable across processes)."""
-    from jax import export as jexport
-
-    def register(t, name):
-        try:
-            from jax._src.export._export import serialization_registry
-            prior = serialization_registry.get(t)
-        except Exception:  # registry is private API; fall back to blind try
-            prior = None
-        if prior is not None:
-            # Already registered. If under a DIFFERENT serialized name, cache
-            # files written by this process would be undeserializable by
-            # readers using the canonical name — fail loudly instead of
-            # producing silently-incompatible entries.
-            if prior[0] != name:
-                raise RuntimeError(
-                    f"namedtuple {t} already registered for jax.export "
-                    f"serialization as {prior[0]!r}; the AOT program cache "
-                    f"requires the canonical name {name!r}"
-                )
-            return
-        jexport.register_namedtuple_serialization(t, serialized_name=name)
-
-    def visit(obj):
-        t = type(obj)
-        if hasattr(t, "_fields"):
-            if t not in _REGISTERED_NT:
-                _REGISTERED_NT.add(t)
-                register(t, f"{t.__module__}.{t.__qualname__}")
-            for f in obj._fields:
-                visit(getattr(obj, f))
-        elif isinstance(obj, (tuple, list)):
-            for c in obj:
-                visit(c)
-        elif isinstance(obj, dict):
-            for c in obj.values():
-                visit(c)
-
-    visit(tree)
-
-
-_SOURCE_REV: Optional[str] = None
-
-
-def _source_revision() -> str:
-    """Hash of the hippie_tpu package sources. Folded into AOT cache keys so
-    editing model/step/loss code invalidates stale compiled programs (same
-    shapes + same jax version would otherwise silently replay old code)."""
-    global _SOURCE_REV
-    if _SOURCE_REV is None:
-        import hashlib
-        import os
-
-        import hippie_tpu
-
-        h = hashlib.sha256()
-        pkg_root = os.path.dirname(os.path.abspath(hippie_tpu.__file__))
-        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
-            dirnames.sort()
-            for fn in sorted(filenames):
-                if fn.endswith(".py"):
-                    p = os.path.join(dirpath, fn)
-                    h.update(os.path.relpath(p, pkg_root).encode())
-                    with open(p, "rb") as f:
-                        h.update(f.read())
-        _SOURCE_REV = h.hexdigest()[:16]
-    return _SOURCE_REV
-
-
-def _aot_cache_key(args: tuple, static_desc: str) -> str:
-    import hashlib
-
-    leaves, treedef = jax.tree_util.tree_flatten(args)
-    sig = "|".join(
-        f"{tuple(l.shape)}:{l.dtype}:{getattr(l, 'sharding', None)}" for l in leaves
-    )
-    raw = (f"{jax.__version__}|{jax.default_backend()}|{_source_revision()}|"
-           f"{static_desc}|{treedef}|{sig}")
-    return hashlib.sha256(raw.encode()).hexdigest()[:24]
-
-
-def _have_exec_serialization() -> bool:
-    try:
-        from jax.experimental import serialize_executable  # noqa: F401
-
-        return True
-    except Exception:  # pragma: no cover
-        return False
-
-
-_EXEC_MEMO: dict = {}  # path -> loaded compiled callable (per process)
+_register_io_namedtuples = _aot.register_io_namedtuples
+_source_revision = _aot.source_revision
+_aot_cache_key = _aot.cache_key
+_have_exec_serialization = _aot.have_exec_serialization
 
 
 def _aot_call(fit, args: tuple, aot_dir: str, static_desc: str):
-    """Run ``fit(*args)`` through the on-disk AOT program cache.
-
-    Primary format: the COMPILED executable (jax.experimental.
-    serialize_executable). The populating run compiles through the normal
-    jit path — ``fit.lower(*args).compile()`` — so it costs the same as a
-    plain run (and its backend compile lands in the persistent HLO cache as
-    usual; the old jax.export format instead re-lowered under the export
-    calling convention, whose HLO missed the warm cache — a measured 588 s
-    of duplicate backend compiles per populated dir, RESULTS.md). Later
-    processes ``deserialize_and_load`` in ~0.2 s, skipping trace, lowering
-    AND backend compile; donation/input-aliasing is preserved by the
-    executable (the export path made one extra transient copy).
-
-    Cache keys include arg shapes/dtypes/shardings, the config description,
-    jax version, backend, and a hash of the hippie_tpu sources (stale code
-    never replays). Entries are topology-specific; a load failure (different
-    machine/mesh) falls back to a fresh compile that overwrites the entry.
-
-    Fallback format when executable serialization is unavailable: the
-    round-2 jax.export StableHLO path.
-    """
-    import os
-
-    os.makedirs(aot_dir, exist_ok=True)
-    key = _aot_cache_key(args, static_desc)
-
-    if _have_exec_serialization():
-        import pickle
-
-        from jax.experimental.serialize_executable import (
-            deserialize_and_load, serialize)
-
-        path = os.path.join(aot_dir, f"fit_{key}.jexec")
-        loaded = _EXEC_MEMO.get(path)
-        if loaded is None and os.path.exists(path):
-            try:
-                with open(path, "rb") as f:
-                    payload, in_tree, out_tree = pickle.load(f)
-                loaded = deserialize_and_load(payload, in_tree, out_tree)
-            except Exception:
-                loaded = None  # stale/corrupt/foreign-topology: recompile
-        if loaded is None:
-            compiled = fit.lower(*args).compile()
-            try:
-                tmp = f"{path}.tmp.{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    pickle.dump(serialize(compiled), f)
-                os.replace(tmp, path)
-            except Exception:
-                pass  # backend can't serialize executables: still run compiled
-            loaded = compiled
-        _EXEC_MEMO[path] = loaded
-        return loaded(*args)
-
-    # ---- fallback: jax.export StableHLO artifact --------------------------
-    from jax import export as jexport
-
-    _register_io_namedtuples(args)
-    path = os.path.join(aot_dir, f"fit_{key}.shlo")
-    exported = _EXEC_MEMO.get(path)
-    if exported is None and os.path.exists(path):
-        try:
-            with open(path, "rb") as f:
-                exported = jexport.deserialize(f.read())
-        except Exception:
-            exported = None  # stale/corrupt entry: fall through to re-export
-    if exported is None:
-        exported = jexport.export(fit)(*args)
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(exported.serialize())
-        os.replace(tmp, path)
-    _EXEC_MEMO[path] = exported
-    return exported.call(*args)
+    """Run ``fit(*args)`` through the on-disk AOT program cache (see
+    hippie_tpu/utils/aot.py for format, keying and fallback details)."""
+    return _aot.cached_call(fit, args, aot_dir, static_desc)

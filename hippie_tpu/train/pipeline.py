@@ -45,6 +45,7 @@ from hippie_tpu.models import cvae
 from hippie_tpu.ops import preprocess
 from hippie_tpu.train import checkpoint as ckpt_mod
 from hippie_tpu.train import loop, optim, step
+from hippie_tpu.utils import aot
 from hippie_tpu.utils.profiling import StageTimer, trace
 
 
@@ -84,6 +85,10 @@ class PipelineConfig:
     class_hidden_dim: int = 5
     num_blocks: tuple = (2, 2, 2, 2)  # backbone depth; (2,2,2,2) = ResNet18
     strict_leakage_guard: bool = False
+    # Register custom dataset directories found under data_root (any dir with
+    # waveforms.csv + isi_dist.csv; registry.discover_datasets) so they join
+    # the leave-target-out pretraining pool with fresh source IDs.
+    discover_datasets: bool = False
     verbose: bool = True
     log_fn: Any = None  # optional callable(dict)
     profile_dir: Optional[str] = None  # jax.profiler trace output (optional)
@@ -794,6 +799,14 @@ def run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
 def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     timer = StageTimer()
+    # Eval programs (embed forward, KNN sweep) route through the same AOT
+    # executable cache as the stage-fit programs, so fresh processes skip
+    # their trace+lower+compile too (hippie_tpu/utils/aot.py).
+    aot.set_default_dir(cfg.aot_dir)
+    if cfg.discover_datasets:
+        new = registry.discover_datasets(cfg.data_root)
+        if new and cfg.verbose:
+            print(f"discovered datasets: {', '.join(new)}")
     os.makedirs(cfg.output_dir, exist_ok=True)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     root = jax.random.PRNGKey(cfg.seed)
@@ -1059,6 +1072,11 @@ def run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
 def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     timer = StageTimer()
+    aot.set_default_dir(cfg.aot_dir)  # see _run_unimodal_pipeline
+    if cfg.discover_datasets:
+        new = registry.discover_datasets(cfg.data_root)
+        if new and cfg.verbose:
+            print(f"discovered datasets: {', '.join(new)}")
     os.makedirs(cfg.output_dir, exist_ok=True)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     root = jax.random.PRNGKey(cfg.seed)

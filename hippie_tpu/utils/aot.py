@@ -1,0 +1,210 @@
+"""Generic on-disk AOT program cache for jitted callables.
+
+On single-core hosts driving a remote-compile TPU backend, a fresh process
+pays trace + lower (seconds per program on this host) and a compile-service
+round trip for EVERY jitted program before any device work happens. This
+module serializes the COMPILED executable (jax.experimental.
+serialize_executable) keyed by arg shapes/dtypes/shardings + a static
+config description + jax version + backend + a hash of the hippie_tpu
+sources, so later processes skip trace, lowering AND backend compile
+(~0.2 s deserialize per program vs 4-20 s).
+
+Used by train/device_fit.py for whole-stage fit programs and by
+evaluate/{embeddings,knn_eval}.py for the eval programs (the pipeline sets
+the process-wide default directory from --aot-dir).
+
+The populating run compiles through the normal jit path (``fn.lower(*args)
+.compile()``), so it costs the same as a plain run and its backend compile
+lands in the persistent HLO cache as usual. Entries are topology-specific;
+a load failure (different machine/mesh) falls back to a fresh compile that
+overwrites the entry. When executable serialization is unavailable the
+jax.export StableHLO format is used instead (re-lowered calling
+convention; slower to populate, still skips per-process tracing).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+_REGISTERED_NT: set = set()
+
+
+def register_io_namedtuples(tree) -> None:
+    """Register every namedtuple type in a pytree for jax.export
+    serialization (names are module.qualname — stable across processes)."""
+    from jax import export as jexport
+
+    def register(t, name):
+        try:
+            from jax._src.export._export import serialization_registry
+            prior = serialization_registry.get(t)
+        except Exception:  # registry is private API; fall back to blind try
+            prior = None
+        if prior is not None:
+            # Already registered. If under a DIFFERENT serialized name, cache
+            # files written by this process would be undeserializable by
+            # readers using the canonical name — fail loudly instead of
+            # producing silently-incompatible entries.
+            if prior[0] != name:
+                raise RuntimeError(
+                    f"namedtuple {t} already registered for jax.export "
+                    f"serialization as {prior[0]!r}; the AOT program cache "
+                    f"requires the canonical name {name!r}"
+                )
+            return
+        jexport.register_namedtuple_serialization(t, serialized_name=name)
+
+    def visit(obj):
+        t = type(obj)
+        if hasattr(t, "_fields"):
+            if t not in _REGISTERED_NT:
+                _REGISTERED_NT.add(t)
+                register(t, f"{t.__module__}.{t.__qualname__}")
+            for f in obj._fields:
+                visit(getattr(obj, f))
+        elif isinstance(obj, (tuple, list)):
+            for c in obj:
+                visit(c)
+        elif isinstance(obj, dict):
+            for c in obj.values():
+                visit(c)
+
+    visit(tree)
+
+
+_SOURCE_REV: Optional[str] = None
+
+
+def source_revision() -> str:
+    """Hash of the hippie_tpu package sources. Folded into AOT cache keys so
+    editing model/step/loss code invalidates stale compiled programs (same
+    shapes + same jax version would otherwise silently replay old code)."""
+    global _SOURCE_REV
+    if _SOURCE_REV is None:
+        import hashlib
+
+        import hippie_tpu
+
+        h = hashlib.sha256()
+        pkg_root = os.path.dirname(os.path.abspath(hippie_tpu.__file__))
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(os.path.relpath(p, pkg_root).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _SOURCE_REV = h.hexdigest()[:16]
+    return _SOURCE_REV
+
+
+def cache_key(args: tuple, static_desc: str) -> str:
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    sig = "|".join(
+        f"{tuple(l.shape)}:{l.dtype}:{getattr(l, 'sharding', None)}" for l in leaves
+    )
+    raw = (f"{jax.__version__}|{jax.default_backend()}|{source_revision()}|"
+           f"{static_desc}|{treedef}|{sig}")
+    return hashlib.sha256(raw.encode()).hexdigest()[:24]
+
+
+def have_exec_serialization() -> bool:
+    try:
+        from jax.experimental import serialize_executable  # noqa: F401
+
+        return True
+    except Exception:  # pragma: no cover
+        return False
+
+
+_EXEC_MEMO: dict = {}  # path -> loaded compiled callable (per process)
+
+# Process-wide default cache directory (pipeline sets it from --aot-dir);
+# opt-in consumers (eval programs) use it via maybe_cached_call.
+_DEFAULT_DIR: Optional[str] = None
+
+
+def set_default_dir(path: Optional[str]) -> None:
+    global _DEFAULT_DIR
+    _DEFAULT_DIR = path
+
+
+def default_dir() -> Optional[str]:
+    return _DEFAULT_DIR
+
+
+def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
+                lower_kwargs: Optional[dict] = None) -> Any:
+    """Run ``fn(*args, **lower_kwargs)`` through the on-disk AOT cache.
+
+    ``fn`` must be a jitted callable; ``lower_kwargs`` carries its static
+    keyword arguments (also fold them into ``static_desc`` — they are not
+    hashed from the values).
+    """
+    lower_kwargs = lower_kwargs or {}
+    os.makedirs(aot_dir, exist_ok=True)
+    key = cache_key(args, static_desc)
+
+    if have_exec_serialization():
+        import pickle
+
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load, serialize)
+
+        path = os.path.join(aot_dir, f"prog_{key}.jexec")
+        loaded = _EXEC_MEMO.get(path)
+        if loaded is None and os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                loaded = deserialize_and_load(payload, in_tree, out_tree)
+            except Exception:
+                loaded = None  # stale/corrupt/foreign-topology: recompile
+        if loaded is None:
+            compiled = fn.lower(*args, **lower_kwargs).compile()
+            try:
+                tmp = f"{path}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump(serialize(compiled), f)
+                os.replace(tmp, path)
+            except Exception:
+                pass  # backend can't serialize executables: still run compiled
+            loaded = compiled
+        _EXEC_MEMO[path] = loaded
+        return loaded(*args)
+
+    # ---- fallback: jax.export StableHLO artifact --------------------------
+    from jax import export as jexport
+
+    register_io_namedtuples(args)
+    path = os.path.join(aot_dir, f"prog_{key}.shlo")
+    exported = _EXEC_MEMO.get(path)
+    if exported is None and os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                exported = jexport.deserialize(f.read())
+        except Exception:
+            exported = None  # stale/corrupt entry: fall through to re-export
+    if exported is None:
+        exported = jexport.export(fn)(*args, **lower_kwargs)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exported.serialize())
+        os.replace(tmp, path)
+    _EXEC_MEMO[path] = exported
+    return exported.call(*args)
+
+
+def maybe_cached_call(fn, args: tuple, static_desc: str,
+                      lower_kwargs: Optional[dict] = None) -> Any:
+    """cached_call through the process default dir, or a plain call when no
+    default dir is configured (library use outside the pipeline)."""
+    if _DEFAULT_DIR is None:
+        return fn(*args, **(lower_kwargs or {}))
+    return cached_call(fn, args, _DEFAULT_DIR, static_desc, lower_kwargs)

@@ -82,21 +82,23 @@ def main(argv=None):
         print("No labels found, using dummy labels")
 
     num_classes = len(np.unique(labels))
-    cfg_wave = cvae.CVAEConfig(z_dim=args.z_dim, output_size=50, class_hidden_dim=5,
-                               num_sources=args.num_sources, num_classes=num_classes)
-    cfg_time = cvae.CVAEConfig(z_dim=args.z_dim, output_size=100, class_hidden_dim=5,
-                               num_sources=args.num_sources, num_classes=num_classes)
 
     print("Loading models from checkpoints...")
     joint_mode = args.joint_checkpoint is not None
+    # Resolved model geometry: inferred from the checkpoint's own weight
+    # shapes when possible (export.infer_*_config — works for ours and for
+    # reference-trained ckpts alike), falling back to the CLI flags. The
+    # reference instead hardcodes z_dim=64 / num_sources=5 defaults that
+    # mismatch most real checkpoints (inference…py:16-22,97).
+    z_dim, num_sources = args.z_dim, args.num_sources
+    class_hidden_dim, num_blocks = 5, (2, 2, 2, 2)
 
-    def load_tree(path, template, model_name):
-        """Load a ckpt into a template, with the reference's class-embedding
-        mismatch healing (inference…py:116-127) and a skipped-keys warning
-        (a non-empty skip beyond the intentional drop means the checkpoint's
-        architecture doesn't match the requested config — z_dim/num_blocks)."""
-        payload = ckpt_mod.load_lightning_ckpt(path)
-        sd = payload["state_dict"]
+    def load_tree(sd, template, model_name):
+        """Load a state_dict into a template, with the reference's
+        class-embedding mismatch healing (inference…py:116-127) and a
+        skipped-keys warning (a non-empty skip beyond the intentional drop
+        means the checkpoint's architecture doesn't match the requested
+        config — z_dim/num_blocks)."""
         drop = ()
         ce = sd.get("model.class_embedding.weight")
         if ce is not None and ce.shape[0] != num_classes:
@@ -112,17 +114,48 @@ def main(argv=None):
         return params, bn
 
     try:
+        from hippie_tpu import export as hexport
+
         trees = {}
         if joint_mode:
-            mm_cfg = cvae.MultiModalConfig(z_dim=args.z_dim, class_hidden_dim=5,
-                                           num_sources=args.num_sources, num_classes=num_classes)
+            payload = ckpt_mod.load_lightning_ckpt(args.joint_checkpoint)
+            sd = payload["state_dict"]
+            try:
+                base = hexport.infer_multimodal_config(sd)
+                z_dim, num_sources = base.z_dim, base.num_sources
+                class_hidden_dim, num_blocks = base.class_hidden_dim, base.num_blocks
+                print(f"Model geometry from checkpoint: z_dim={z_dim}, "
+                      f"num_sources={num_sources}, num_blocks={list(num_blocks)}")
+            except (KeyError, ValueError, IndexError):
+                pass  # non-standard keys: trust the flags
+            mm_cfg = cvae.MultiModalConfig(
+                z_dim=z_dim, class_hidden_dim=class_hidden_dim,
+                num_sources=num_sources, num_classes=num_classes,
+                num_blocks=tuple(num_blocks),
+            )
             template = cvae.multimodal_cvae_init(jax.random.PRNGKey(0), mm_cfg)
-            trees["joint"] = load_tree(args.joint_checkpoint, template, "joint")
+            trees["joint"] = load_tree(sd, template, "joint")
         else:
-            for name, cfg_m, path in (("wave", cfg_wave, args.wave_checkpoint),
-                                      ("time", cfg_time, args.time_checkpoint)):
+            payloads = {
+                "wave": ckpt_mod.load_lightning_ckpt(args.wave_checkpoint),
+                "time": ckpt_mod.load_lightning_ckpt(args.time_checkpoint),
+            }
+            try:
+                base = hexport.infer_unimodal_config(payloads["wave"]["state_dict"])
+                z_dim, num_sources = base.z_dim, base.num_sources
+                class_hidden_dim, num_blocks = base.class_hidden_dim, base.num_blocks
+                print(f"Model geometry from checkpoint: z_dim={z_dim}, "
+                      f"num_sources={num_sources}, num_blocks={list(num_blocks)}")
+            except (KeyError, ValueError, IndexError):
+                pass
+            for name, out_size in (("wave", 50), ("time", 100)):
+                cfg_m = cvae.CVAEConfig(
+                    z_dim=z_dim, output_size=out_size, class_hidden_dim=class_hidden_dim,
+                    num_sources=num_sources, num_classes=num_classes,
+                    num_blocks=tuple(num_blocks),
+                )
                 template = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg_m)
-                trees[name] = load_tree(path, template, name)
+                trees[name] = load_tree(payloads[name]["state_dict"], template, name)
         print("Models loaded successfully")
     except Exception as e:
         print(f"Error loading models: {e}")
@@ -130,7 +163,7 @@ def main(argv=None):
 
     # The reference passes the (1-D) labels straight through get_embeddings,
     # where they act as *source* labels in the forward (scripts/utils.py:79).
-    source = jnp.asarray(np.asarray(labels, dtype=np.int64) % args.num_sources, jnp.int32)
+    source = jnp.asarray(np.asarray(labels, dtype=np.int64) % num_sources, jnp.int32)
 
     print("Extracting embeddings...")
     if joint_mode:

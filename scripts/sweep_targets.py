@@ -36,6 +36,8 @@ def main(argv=None):
     enable_persistent_cache()
     from hippie_tpu.data import registry
 
+    if getattr(args, "discover_datasets", False):
+        registry.discover_datasets(args.data_root)
     if args.datasets:
         targets = [s.strip() for s in args.datasets.split(",") if s.strip()]
     else:

@@ -54,6 +54,10 @@ def build_parser():
     parser.add_argument("--wandb", action="store_true", help="enable wandb logging if installed")
     parser.add_argument("--strict-leakage-guard", action="store_true",
                         help="also exclude sister juxtacellular datasets (fixes quirk Q2)")
+    parser.add_argument("--discover-datasets", action="store_true",
+                        help="register custom dataset dirs found under --data-root (any dir "
+                             "with waveforms.csv + isi_dist.csv; fresh source IDs, optional "
+                             "registry.json pinning) so they join the pretraining pool")
     parser.add_argument("--resume", action="store_true",
                         help="orbax mid-run resume: continue interrupted stages exactly")
     parser.add_argument("--profile-dir", type=str, default=None,
@@ -158,6 +162,7 @@ def run(args, model_type: str = "unimodal"):
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
         strict_leakage_guard=args.strict_leakage_guard,
+        discover_datasets=getattr(args, "discover_datasets", False),
         resume=args.resume,
         profile_dir=args.profile_dir,
         drop_index_column=args.drop_index_column,

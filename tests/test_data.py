@@ -195,3 +195,42 @@ def test_bucketed_epoch_matches_exact_plan():
     )
     for a, b in zip(jax.tree_util.tree_leaves(ts1.params), jax.tree_util.tree_leaves(ts2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_register_and_discover_custom_datasets(tmp_path):
+    """registry.discover_datasets: contract-following dirs get fresh source
+    IDs (registry.json pins take precedence), idempotent, pool membership."""
+    import json
+
+    import pytest
+
+    from hippie_tpu.data import synth
+
+    saved_ids = dict(registry.DATASET_SOURCE_IDS)
+    saved_n = registry.NUM_SOURCES
+    root = str(tmp_path)
+    synth.make_dataset(root, "zz-custom-b", n=8, seed=0)
+    synth.make_dataset(root, "aa-custom-a", n=8, seed=1)
+    (tmp_path / "not-a-dataset").mkdir()  # no CSVs: ignored
+    (tmp_path / "registry.json").write_text(json.dumps({"zz-custom-b": 9}))
+    try:
+        new = registry.discover_datasets(root)
+        assert new == ["aa-custom-a", "zz-custom-b"]
+        assert registry.DATASET_SOURCE_IDS["zz-custom-b"] == 9  # pinned
+        assert registry.DATASET_SOURCE_IDS["aa-custom-a"] == 10  # next free
+        assert registry.NUM_SOURCES == 11
+        assert "not-a-dataset" not in registry.DATASET_SOURCE_IDS
+
+        assert registry.discover_datasets(root) == []  # idempotent
+
+        pool = registry.pretrain_pool("aa-custom-a")
+        assert "zz-custom-b" in pool and "aa-custom-a" not in pool
+        assert "cellexplorer-celltype" in pool
+
+        with pytest.raises(ValueError):
+            registry.register_dataset("zz-custom-b", source_id=3)  # conflict
+        assert registry.register_dataset("zz-custom-b") == 9  # no-op re-reg
+    finally:
+        registry.DATASET_SOURCE_IDS.clear()
+        registry.DATASET_SOURCE_IDS.update(saved_ids)
+        registry.NUM_SOURCES = saved_n

@@ -203,7 +203,7 @@ def test_aot_cached_fit_matches_and_reuses(tmp_path):
     aot = str(tmp_path / "aot")
     r_aot, _ = _tiny_stage("device", aot_dir=aot)
     files = os.listdir(aot)
-    assert len(files) == 1 and files[0].startswith("fit_")
+    assert len(files) == 1 and files[0].startswith("prog_")
     np.testing.assert_allclose(r_aot.train_losses, r_plain.train_losses, rtol=2e-5)
     np.testing.assert_allclose(r_aot.val_losses, r_plain.val_losses, rtol=2e-5)
     assert r_aot.best_epoch == r_plain.best_epoch

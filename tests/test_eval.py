@@ -76,3 +76,49 @@ def test_gmm_separates_blobs():
     assert len(set(assign[:60])) == 1 and len(set(assign[60:])) == 1
     assert assign[0] != assign[-1]
     np.testing.assert_allclose(np.asarray(weights).sum(), 1.0, rtol=1e-5)
+
+
+def test_eval_programs_use_aot_cache(tmp_path):
+    """With an AOT default dir set (pipeline --aot-dir), embed_unimodal and
+    the KNN sweep run through the executable cache: results identical to the
+    plain jit path, entries written once and reused."""
+    import os
+
+    import jax
+
+    from hippie_tpu.evaluate import embeddings as emb
+    from hippie_tpu.models import cvae
+    from hippie_tpu.utils import aot
+
+    cfg = cvae.CVAEConfig(z_dim=4, output_size=50, num_blocks=(1, 1, 1, 1))
+    p, s = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(37, 50)).astype(np.float32)
+    src = np.zeros((37,), np.int32)
+    tx = rng.normal(size=(60, 8)).astype(np.float32)
+    ty = rng.integers(0, 3, size=(60,)).astype(np.int32)
+    ex = rng.normal(size=(11, 8)).astype(np.float32)
+
+    assert aot.default_dir() is None
+    plain_emb = np.asarray(emb.embed_unimodal(p, s, data, src))
+    plain_knn = knn_eval.knn_predict_sweep(tx, ty, ex, ks=range(5, 20, 2))
+
+    d = str(tmp_path / "aot_eval")
+    aot.set_default_dir(d)
+    try:
+        cached_emb = np.asarray(emb.embed_unimodal(p, s, data, src))
+        cached_knn = knn_eval.knn_predict_sweep(tx, ty, ex, ks=range(5, 20, 2))
+        files = os.listdir(d)
+        assert len(files) == 2, files
+        mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in files}
+        again_emb = np.asarray(emb.embed_unimodal(p, s, data, src))
+        again_knn = knn_eval.knn_predict_sweep(tx, ty, ex, ks=range(5, 20, 2))
+        assert {f: os.path.getmtime(os.path.join(d, f)) for f in files} == mtimes
+    finally:
+        aot.set_default_dir(None)
+
+    np.testing.assert_allclose(cached_emb, plain_emb, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(again_emb, plain_emb, rtol=1e-6, atol=1e-7)
+    for k in plain_knn:
+        np.testing.assert_array_equal(cached_knn[k], plain_knn[k])
+        np.testing.assert_array_equal(again_knn[k], plain_knn[k])

@@ -244,3 +244,51 @@ def test_multimodal_pipeline_end_to_end(synth_root, tmp_path):
     assert os.path.exists(os.path.join(out, "cellexplorer-celltype_joint_embeddings.csv"))
     cm = results["best"]["joint"]["confusion_matrix"]
     assert cm.sum() == len(results["label_val"])
+
+
+@pytest.mark.slow
+def test_pipeline_with_discovered_custom_dataset(tmp_path):
+    """--discover-datasets: a custom dataset dir (not in the reference
+    registry) becomes a first-class target — registry.json-pinned source ID,
+    pretraining pool assembled leave-target-out, full 3-stage pipeline + KNN
+    eval. Shapes mirror test_unimodal_pipeline_end_to_end exactly (and the
+    pin reuses cellexplorer's source ID) so every program is jit-warm —
+    fresh compiles on the 1-core host would cost minutes."""
+    import json
+
+    from hippie_tpu.data import registry
+
+    saved_ids = dict(DATASET_SOURCE_IDS)
+    saved_n = registry.NUM_SOURCES
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "my-lab-rig", n=48, num_classes=3, seed=0)
+    synth.make_dataset(str(root), "extracellular-mouse-a1", n=40, wave_width=39, isi_width=50, seed=1)
+    synth.make_dataset(str(root), "neonatal-mouse-brain-slice", n=64, wave_width=49, seed=2)
+    (root / "registry.json").write_text(json.dumps({"my-lab-rig": 3}))
+    try:
+        cfg = PipelineConfig(
+            z_dim=4,
+            dataset="my-lab-rig",
+            data_root=str(root),
+            output_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpts"),
+            batch_size=32,
+            supervised_batch_size=16,
+            pretrain_max_epochs=1,
+            finetune_max_epochs=1,
+            supervised_max_epochs=1,
+            num_blocks=(1, 1, 1, 1),
+            verbose=False,
+            discover_datasets=True,
+        )
+        results = run_pipeline(cfg)
+        assert DATASET_SOURCE_IDS["my-lab-rig"] == 3  # registry.json pin
+        assert registry.NUM_SOURCES == saved_n
+        for kind in ("waveform", "isi", "joint"):
+            assert 0.0 <= results["best"][kind]["balanced_accuracy"] <= 1.0
+        assert os.path.exists(os.path.join(cfg.output_dir, "my-lab-rig_joint_knn.csv"))
+        assert os.path.exists(os.path.join(cfg.output_dir, "my-lab-rig_waveform_embeddings.csv"))
+    finally:
+        DATASET_SOURCE_IDS.clear()
+        DATASET_SOURCE_IDS.update(saved_ids)
+        registry.NUM_SOURCES = saved_n
