@@ -14,10 +14,11 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(
-            "usage: hippie-tpu {train,train-multimodal,infer,serve,export,synth,bench} [args...]\n"
+            "usage: hippie-tpu {train,train-multimodal,infer,kfold,serve,export,synth,bench} [args...]\n"
             "  train            3-stage unimodal pipeline (scripts/train_model.py flags)\n"
             "  train-multimodal unimodal-or-joint pipeline (--model-type multimodal)\n"
             "  infer            dual-checkpoint embedding export (+ --cluster k)\n"
+            "  kfold            k-fold cross-validated KNN evaluation of embeddings\n"
             "  serve            HTTP embedding microservice (POST /embed)\n"
             "  export           checkpoint -> deployable StableHLO artifact\n"
             "  synth            generate a synthetic dataset in the CSV contract\n"
@@ -40,6 +41,10 @@ def main(argv=None):
         m.main()
     elif cmd == "infer":
         import inference_from_trained_model as m
+
+        m.main(rest)
+    elif cmd == "kfold":
+        import kfold_eval as m
 
         m.main(rest)
     elif cmd == "serve":

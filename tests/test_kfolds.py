@@ -30,3 +30,43 @@ def test_generate_kfolds_reference_contract():
     assert wf_tr.shape[1] == 47 and isi_tr.shape[1] == 100
     assert len(wf_tr) + len(wf_va) == 392
     assert set(np.unique(lab_va)).issubset(set(range(len(le.classes_))))
+
+
+def test_kfold_eval_cli(tmp_path, capsys):
+    """scripts/kfold_eval.py: trained-ckpt k-fold KNN sweep end to end —
+    geometry inferred from the ckpts, sentinel padding keeps every fold in
+    one compiled program, CSV has mean±std rows per (kind, k)."""
+    import importlib.util
+
+    import jax
+    import pandas as pd
+
+    from hippie_tpu.data import synth
+    from hippie_tpu.models import cvae
+    from hippie_tpu.train import checkpoint as ckpt_mod
+
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "kf-rig", n=60, num_classes=3, seed=0)
+    for name, out_size, seed in (("wave", 50, 0), ("time", 100, 1)):
+        cfg = cvae.CVAEConfig(z_dim=4, output_size=out_size, num_sources=3,
+                              num_classes=3, num_blocks=(1, 1, 1, 1))
+        p, s = cvae.unimodal_cvae_init(jax.random.PRNGKey(seed), cfg)
+        ckpt_mod.save_lightning_ckpt(str(tmp_path / f"{name}.ckpt"), p, s)
+
+    spec = importlib.util.spec_from_file_location("kfold_eval", "scripts/kfold_eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "out"
+    mod.main([
+        "--dataset", "kf-rig", "--data-root", str(root),
+        "--wave-checkpoint", str(tmp_path / "wave.ckpt"),
+        "--time-checkpoint", str(tmp_path / "time.ckpt"),
+        "--folds", "5", "--output-dir", str(out),
+    ])
+    stdout = capsys.readouterr().out
+    assert "z_dim=4" in stdout and "5 folds" in stdout
+    df = pd.read_csv(out / "kf-rig_kfold_knn.csv")
+    assert set(df["kind"]) == {"waveform", "isi", "joint"}
+    assert sorted(df[df["kind"] == "joint"]["k"]) == list(range(5, 20, 2))
+    assert ((0.0 <= df["mean_balanced_accuracy"]) & (df["mean_balanced_accuracy"] <= 1.0)).all()
+    assert (df["folds"] == 5).all()
