@@ -65,9 +65,13 @@ def discover_datasets(data_root: str) -> list:
     A dataset directory is any subdirectory containing both ``waveforms.csv``
     and ``isi_dist.csv`` (the reference's on-disk contract, SURVEY.md §2.5).
     Reference names keep their reference source IDs; new names get fresh
-    sequential IDs in sorted-name order (deterministic across processes). An
-    optional ``<data_root>/registry.json`` mapping ``{name: source_id}`` pins
-    IDs declaratively and takes precedence for those names. Idempotent.
+    sequential IDs in sorted-name order. An optional
+    ``<data_root>/registry.json`` mapping ``{name: source_id}`` pins IDs
+    declaratively and takes precedence for those names. Every assignment is
+    persisted back to ``registry.json``, so IDs are stable across processes
+    AND across later additions of new dataset directories (an unpinned
+    sorted-order assignment alone would silently remap already-trained
+    datasets when an alphabetically-earlier directory appears). Idempotent.
 
     Returns the newly registered names (sorted).
     """
@@ -97,6 +101,25 @@ def discover_datasets(data_root: str) -> list:
     for name in sorted(found, key=lambda n: (n not in pinned, n)):
         register_dataset(name, pinned.get(name))
         new.append(name)
+
+    # Persist fresh assignments so a later discovery (with more directories
+    # present) can never remap the IDs this process trained against.
+    unpersisted = [n for n in new if n not in pinned]
+    if unpersisted:
+        merged = dict(pinned)
+        merged.update({n: DATASET_SOURCE_IDS[n] for n in new})
+        try:
+            tmp = f"{manifest}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(merged, f, indent=1, sort_keys=True)
+            os.replace(tmp, manifest)
+        except OSError as e:  # read-only data root: IDs live for this process only
+            import warnings
+
+            warnings.warn(
+                f"could not persist dataset source IDs to {manifest} ({e}); "
+                f"pin them manually to keep checkpoints portable"
+            )
     return sorted(new)
 
 

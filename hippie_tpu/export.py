@@ -85,6 +85,41 @@ def infer_multimodal_config(state_dict: dict) -> cvae.MultiModalConfig:
     )
 
 
+def load_model_from_ckpt(path_or_payload, *, multimodal: bool = None,
+                         fallback_config=None):
+    """Load a Lightning ckpt and rebuild ``(params, bn_state, config)``.
+
+    One shared policy for every CLI (infer/serve/kfold): geometry is
+    inferred from the state_dict's own weight shapes (``infer_*_config`` —
+    works for ours and for reference-trained ckpts alike); when inference
+    fails on nonstandard keys, ``fallback_config`` is used instead, or a
+    descriptive error is raised if none was given. ``multimodal=None``
+    auto-detects from the key prefixes. Init runs under jit (eager init
+    pays per-op dispatch on remote backends).
+    """
+    from hippie_tpu.train import checkpoint as ckpt_mod
+
+    payload = (path_or_payload if isinstance(path_or_payload, dict)
+               else ckpt_mod.load_lightning_ckpt(path_or_payload))
+    sd = payload["state_dict"]
+    if multimodal is None:
+        multimodal = any(k.startswith("model.encoder_mod1.") for k in sd)
+    try:
+        cfg = infer_multimodal_config(sd) if multimodal else infer_unimodal_config(sd)
+    except (KeyError, ValueError, IndexError) as e:
+        if fallback_config is None:
+            raise ValueError(
+                f"could not infer model geometry from the checkpoint's "
+                f"state_dict keys ({e!r}); the checkpoint does not follow "
+                f"the reference layout — pass explicit geometry"
+            ) from e
+        cfg = fallback_config
+    init = cvae.multimodal_cvae_init if multimodal else cvae.unimodal_cvae_init
+    template = jax.jit(init, static_argnums=1)(jax.random.PRNGKey(0), cfg)
+    params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
+    return params, bn, cfg
+
+
 def _embedder(params, bn_state, multimodal: bool):
     if multimodal:
         def embed(wave, isi, source):

@@ -22,6 +22,7 @@ Layout transforms per leaf:
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any, Dict, Iterable, Optional, Tuple
 
@@ -278,14 +279,24 @@ def save_lightning_ckpt(
         "pytorch-lightning_version": "2.0.0",
         "hyper_parameters": hyper_parameters or {},
     }
-    if HAVE_TORCH:
-        payload["state_dict"] = {
-            k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()
-        }
-        torch.save(payload, path)
-    else:  # pragma: no cover
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
+    # Atomic write: ckpts are flushed from background threads (pipeline
+    # BestTracker.flush_async), so a crash mid-save must never leave a
+    # truncated file at the final path.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        if HAVE_TORCH:
+            payload["state_dict"] = {
+                k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()
+            }
+            torch.save(payload, tmp)
+        else:  # pragma: no cover
+            with open(tmp, "wb") as f:
+                pickle.dump(payload, f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load_lightning_ckpt(path: str) -> dict:

@@ -16,6 +16,7 @@ checkpoint.parameter_key_order.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -309,19 +310,23 @@ def save_schedule_free_sidecar(ckpt_path: str, opt_state) -> Optional[str]:
     sf = find_schedule_free_state(opt_state)
     if sf is None:
         return None
+    # ONE device->host transfer for the three scalars (eager scalar reads
+    # cost ~65 ms each on the remote backend, CLAUDE.md) and one per tree.
+    k, weight_sum, lr_max = jax.device_get((sf.k, sf.weight_sum, sf.lr_max))
     payload = {
-        "k": int(sf.k),
-        "weight_sum": float(sf.weight_sum),
-        "lr_max": float(sf.lr_max),
-        # bulk fetch: ONE device->host transfer per tree, not one per leaf
+        "k": int(k),
+        "weight_sum": float(weight_sum),
+        "lr_max": float(lr_max),
         "z": ckpt_mod.bulk_host_fetch(ckpt_mod.flatten_interleaved(sf.z, None)),
         "exp_avg_sq": ckpt_mod.bulk_host_fetch(
             ckpt_mod.flatten_interleaved(sf.exp_avg_sq, None)
         ),
     }
     path = ckpt_path + SF_SIDECAR_SUFFIX
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp.{os.getpid()}"  # atomic: background-thread writer
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+    os.replace(tmp, path)
     return path
 
 

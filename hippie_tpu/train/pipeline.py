@@ -354,7 +354,10 @@ class BestTracker:
             except BaseException as e:  # re-raised on wait()
                 self._thread_err = e
 
-        self._thread = threading.Thread(target=run, daemon=True)
+        # Non-daemon: if the pipeline dies mid-stage, interpreter shutdown
+        # waits for the in-flight ckpt write instead of killing it half-done
+        # (the write itself is also atomic — checkpoint.save_lightning_ckpt).
+        self._thread = threading.Thread(target=run, daemon=False)
         self._thread.start()
 
     def wait(self):

@@ -125,6 +125,40 @@ def have_exec_serialization() -> bool:
 
 _EXEC_MEMO: dict = {}  # path -> loaded compiled callable (per process)
 
+_PRUNED_DIRS: set = set()
+
+
+def _prune_stale(aot_dir: str, rev: str) -> None:
+    """Entry filenames carry the source revision (prog_<rev>_<key>); every
+    code edit orphans the previous revision's multi-MB executables, so drop
+    them (plus leftover .tmp files from crashed writers) once per process.
+    A concurrently-running older-revision process whose entry disappears
+    just falls back to a fresh compile."""
+    if aot_dir in _PRUNED_DIRS:
+        return
+    _PRUNED_DIRS.add(aot_dir)
+    prefix = f"prog_{rev}_"
+    try:
+        names = os.listdir(aot_dir)
+    except OSError:
+        return
+    import time
+
+    for fn in names:
+        p = os.path.join(aot_dir, fn)
+        stale_rev = fn.startswith("prog_") and not fn.startswith(prefix)
+        stale_tmp = False
+        if ".tmp." in fn:  # only reap tmps old enough to be from dead writers
+            try:
+                stale_tmp = time.time() - os.path.getmtime(p) > 3600
+            except OSError:
+                continue
+        if stale_rev or stale_tmp:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
 # Process-wide default cache directory (pipeline sets it from --aot-dir);
 # opt-in consumers (eval programs) use it via maybe_cached_call.
 _DEFAULT_DIR: Optional[str] = None
@@ -149,6 +183,8 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
     """
     lower_kwargs = lower_kwargs or {}
     os.makedirs(aot_dir, exist_ok=True)
+    rev = source_revision()[:10]
+    _prune_stale(aot_dir, rev)
     key = cache_key(args, static_desc)
 
     if have_exec_serialization():
@@ -157,7 +193,7 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
         from jax.experimental.serialize_executable import (
             deserialize_and_load, serialize)
 
-        path = os.path.join(aot_dir, f"prog_{key}.jexec")
+        path = os.path.join(aot_dir, f"prog_{rev}_{key}.jexec")
         loaded = _EXEC_MEMO.get(path)
         if loaded is None and os.path.exists(path):
             try:
@@ -168,13 +204,15 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
                 loaded = None  # stale/corrupt/foreign-topology: recompile
         if loaded is None:
             compiled = fn.lower(*args, **lower_kwargs).compile()
+            tmp = f"{path}.tmp.{os.getpid()}"
             try:
-                tmp = f"{path}.tmp.{os.getpid()}"
                 with open(tmp, "wb") as f:
                     pickle.dump(serialize(compiled), f)
                 os.replace(tmp, path)
             except Exception:
-                pass  # backend can't serialize executables: still run compiled
+                # backend can't serialize executables: still run compiled
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
             loaded = compiled
         _EXEC_MEMO[path] = loaded
         return loaded(*args)
@@ -183,7 +221,7 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
     from jax import export as jexport
 
     register_io_namedtuples(args)
-    path = os.path.join(aot_dir, f"prog_{key}.shlo")
+    path = os.path.join(aot_dir, f"prog_{rev}_{key}.shlo")
     exported = _EXEC_MEMO.get(path)
     if exported is None and os.path.exists(path):
         try:

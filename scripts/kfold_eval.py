@@ -79,7 +79,6 @@ def main(argv=None):
     from hippie_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
-    import jax
     import jax.numpy as jnp
     import pandas as pd
 
@@ -87,8 +86,6 @@ def main(argv=None):
     from hippie_tpu.data import registry
     from hippie_tpu.evaluate import embeddings as emb_mod
     from hippie_tpu.evaluate.kfolds import stratified_kfold_indices
-    from hippie_tpu.models import cvae
-    from hippie_tpu.train import checkpoint as ckpt_mod
 
     os.makedirs(args.output_dir, exist_ok=True)
     wf, isi = registry.load_raw(args.data_root, args.dataset,
@@ -105,25 +102,16 @@ def main(argv=None):
     print(f"{args.dataset}: {len(labels)} rows, {num_classes} classes "
           f"(smallest {smallest}), {len(folds)} folds")
 
-    def load_tree(path, multimodal):
-        sd = ckpt_mod.load_lightning_ckpt(path)["state_dict"]
-        cfg = (hexport.infer_multimodal_config(sd) if multimodal
-               else hexport.infer_unimodal_config(sd))
-        init = cvae.multimodal_cvae_init if multimodal else cvae.unimodal_cvae_init
-        template = init(jax.random.PRNGKey(0), cfg)
-        p, s, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
-        return p, s, cfg
-
     src_id = registry.DATASET_SOURCE_IDS.get(args.dataset, 0)
     source = jnp.full((len(labels),), src_id, jnp.int32)
     kinds = {}
     if args.joint_checkpoint is not None:
-        p, s, cfg = load_tree(args.joint_checkpoint, True)
+        p, s, cfg = hexport.load_model_from_ckpt(args.joint_checkpoint, multimodal=True)
         kinds["joint"] = np.asarray(
             emb_mod.embed_multimodal(p, s, wave, isi_p, source))
     else:
-        pw, sw, cfg = load_tree(args.wave_checkpoint, False)
-        pt, st, _ = load_tree(args.time_checkpoint, False)
+        pw, sw, cfg = hexport.load_model_from_ckpt(args.wave_checkpoint, multimodal=False)
+        pt, st, _ = hexport.load_model_from_ckpt(args.time_checkpoint, multimodal=False)
         kinds["waveform"] = np.asarray(emb_mod.embed_unimodal(pw, sw, wave, source))
         kinds["isi"] = np.asarray(emb_mod.embed_unimodal(pt, st, isi_p, source))
         kinds["joint"] = np.hstack([kinds["waveform"], kinds["isi"]])

@@ -110,11 +110,8 @@ class EmbeddingService:
         from hippie_tpu.utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
-        import jax
-
         from hippie_tpu import export as hexport
         from hippie_tpu.models import cvae
-        from hippie_tpu.train import checkpoint as ckpt_mod
 
         self._lock = threading.Lock()
         self.z_dim = z_dim
@@ -143,14 +140,8 @@ class EmbeddingService:
                 self.z_dim = int(manifest.get("z_dim", self.z_dim))
                 self._embed_fns["joint"] = self._bucketed_artifact_call(call)
             else:
-                payload = ckpt_mod.load_lightning_ckpt(joint_ckpt)
-                sd = payload["state_dict"]
-                cfg = hexport.infer_multimodal_config(sd)
+                params, bn, cfg = hexport.load_model_from_ckpt(joint_ckpt, multimodal=True)
                 self.z_dim = cfg.z_dim
-                template = jax.jit(cvae.multimodal_cvae_init, static_argnums=1)(
-                    jax.random.PRNGKey(0), cfg
-                )
-                params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
 
                 def _joint_embed(wave, isi, src, params=params, bn=bn):
                     from hippie_tpu.evaluate import embeddings as emb
@@ -172,23 +163,15 @@ class EmbeddingService:
                     self.z_dim = int(manifest.get("z_dim", self.z_dim))
                     self._embed_fns[name] = self._bucketed_artifact_call(call)
                 elif ckpt is not None:
-                    payload = ckpt_mod.load_lightning_ckpt(ckpt)
-                    sd = payload["state_dict"]
-                    try:
-                        cfg = hexport.infer_unimodal_config(sd)
-                        self.z_dim = cfg.z_dim
-                    except KeyError:
-                        out_size = 50 if name == "wave" else 100
-                        cfg = cvae.CVAEConfig(
-                            z_dim=z_dim, output_size=out_size, class_hidden_dim=5,
-                            num_sources=num_sources, num_classes=num_classes,
-                        )
-                    template = jax.jit(cvae.unimodal_cvae_init, static_argnums=1)(
-                        jax.random.PRNGKey(0), cfg
+                    out_size = 50 if name == "wave" else 100
+                    fallback = cvae.CVAEConfig(
+                        z_dim=z_dim, output_size=out_size, class_hidden_dim=5,
+                        num_sources=num_sources, num_classes=num_classes,
                     )
-                    params, bn, _, _ = ckpt_mod.from_torch_state_dict(
-                        sd, template[0], template[1]
+                    params, bn, cfg = hexport.load_model_from_ckpt(
+                        ckpt, multimodal=False, fallback_config=fallback
                     )
+                    self.z_dim = cfg.z_dim
 
                     def _lib_embed(data, src, params=params, bn=bn):
                         from hippie_tpu.evaluate import embeddings as emb
@@ -247,10 +230,14 @@ class EmbeddingService:
                 for chunk in self._chunk_to_warm_buckets(items):
                     try:
                         self._run_group(chunk)
-                    except BaseException as e:  # report to every waiter
+                    except BaseException as e:  # report to every UNSERVED waiter
                         for it in chunk:
-                            it.err = e
-                            it.event.set()
+                            # Only this worker thread sets events, so is_set()
+                            # exactly marks items whose results were already
+                            # published — never turn their success into a 500.
+                            if not it.event.is_set():
+                                it.err = e
+                                it.event.set()
 
     def _chunk_to_warm_buckets(self, items):
         """Split a coalesced group so each chunk's padded bucket is one the
@@ -260,7 +247,10 @@ class EmbeddingService:
 
         cap = self._max_bucket
         if cap <= 0:
-            return [items]
+            # Nothing is warm yet (--warmup-rows 0): run each request alone
+            # so one burst can't coalesce into a giant cold bucket that
+            # stalls every waiter behind a single fresh compile.
+            return [[it] for it in items]
         chunks, cur, cur_rows = [], [], 0
         for it in items:
             c = len(it.wf)

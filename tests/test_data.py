@@ -223,6 +223,20 @@ def test_register_and_discover_custom_datasets(tmp_path):
 
         assert registry.discover_datasets(root) == []  # idempotent
 
+        # Fresh assignments are persisted to registry.json, so a FRESH
+        # process discovering MORE directories later never remaps the IDs
+        # this one trained against.
+        pins = json.loads((tmp_path / "registry.json").read_text())
+        assert pins == {"zz-custom-b": 9, "aa-custom-a": 10}
+        registry.DATASET_SOURCE_IDS.clear()
+        registry.DATASET_SOURCE_IDS.update(saved_ids)  # simulate new process
+        registry.NUM_SOURCES = saved_n
+        synth.make_dataset(root, "ab-custom-c", n=8, seed=2)  # sorts before b
+        assert registry.discover_datasets(root) == [
+            "aa-custom-a", "ab-custom-c", "zz-custom-b"]
+        assert registry.DATASET_SOURCE_IDS["aa-custom-a"] == 10  # unchanged
+        assert registry.DATASET_SOURCE_IDS["ab-custom-c"] == 11  # next free
+
         pool = registry.pretrain_pool("aa-custom-a")
         assert "zz-custom-b" in pool and "aa-custom-a" not in pool
         assert "cellexplorer-celltype" in pool

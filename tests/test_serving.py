@@ -269,9 +269,10 @@ def test_chunk_to_warm_buckets(server):
 
     saved = service._max_bucket
     try:
-        # no warm bucket recorded yet -> single chunk (nothing to cap to)
+        # no warm bucket recorded yet (--warmup-rows 0): each request runs
+        # alone — a burst must not coalesce into one giant cold bucket
         service._max_bucket = 0
-        assert [len(c) for c in service._chunk_to_warm_buckets(items([64] * 16))] == [16]
+        assert [len(c) for c in service._chunk_to_warm_buckets(items([64] * 16))] == [1] * 16
 
         # warm bucket 512: 16x64=1024 rows must split into 512-row chunks
         service._max_bucket = 512
