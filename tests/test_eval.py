@@ -122,3 +122,35 @@ def test_eval_programs_use_aot_cache(tmp_path):
     for k in plain_knn:
         np.testing.assert_array_equal(cached_knn[k], plain_knn[k])
         np.testing.assert_array_equal(again_knn[k], plain_knn[k])
+
+
+def test_aot_prune_stale_revisions(tmp_path):
+    """Stale-revision entries and old tmp files are pruned when the cache is
+    first used; current-revision entries and fresh tmp files survive."""
+    import os
+    import time
+
+    import jax
+
+    from hippie_tpu.utils import aot
+
+    d = tmp_path / "aot"
+    d.mkdir()
+    rev = aot.source_revision()[:10]
+    keep = d / f"prog_{rev}_aaaa.jexec"
+    stale = d / "prog_0000000000_bbbb.jexec"
+    fresh_tmp = d / f"prog_{rev}_cccc.jexec.tmp.123"
+    old_tmp = d / f"prog_{rev}_dddd.jexec.tmp.456"
+    for p in (keep, stale, fresh_tmp, old_tmp):
+        p.write_bytes(b"x")
+    os.utime(old_tmp, (time.time() - 7200, time.time() - 7200))
+
+    f = jax.jit(lambda x: x + 1)
+    aot._PRUNED_DIRS.discard(str(d))
+    out = aot.cached_call(f, (np.float32(1.0),), str(d), "prune-test")
+    assert float(out) == 2.0
+    names = set(os.listdir(d))
+    assert keep.name in names            # current revision kept
+    assert stale.name not in names       # old revision pruned
+    assert fresh_tmp.name in names       # recent tmp (live writer) kept
+    assert old_tmp.name not in names     # dead writer's tmp reaped
