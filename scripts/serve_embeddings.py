@@ -146,7 +146,8 @@ class EmbeddingService:
                 def _joint_embed(wave, isi, src, params=params, bn=bn):
                     from hippie_tpu.evaluate import embeddings as emb
 
-                    return np.asarray(emb.embed_multimodal(params, bn, wave, isi, src))
+                    # Device array: _run_group fetches after all dispatches.
+                    return emb.embed_multimodal(params, bn, wave, isi, src)
 
                 self._embed_fns["joint"] = _joint_embed
         else:
@@ -176,7 +177,8 @@ class EmbeddingService:
                     def _lib_embed(data, src, params=params, bn=bn):
                         from hippie_tpu.evaluate import embeddings as emb
 
-                        return np.asarray(emb.embed_unimodal(params, bn, data, src))
+                        # Device array: _run_group fetches after all dispatches.
+                        return emb.embed_unimodal(params, bn, data, src)
 
                     self._embed_fns[name] = _lib_embed
                 else:
@@ -265,6 +267,7 @@ class EmbeddingService:
 
     def _run_group(self, items):
         """ONE device call for a group of row-concatenable requests."""
+        import jax
         import jax.numpy as jnp
 
         from hippie_tpu.evaluate.embeddings import _bucket
@@ -287,11 +290,16 @@ class EmbeddingService:
         isi = preprocess.preprocess_isi(jnp.asarray(isi_p), normalize=normalize)
         src = jnp.asarray(src_p)
         if self.mode == "joint":
-            j = np.asarray(self._embed_fns["joint"](wave, isi, src))
+            j = np.asarray(jax.device_get(self._embed_fns["joint"](wave, isi, src)))
             w_all = i_all = None
         else:
-            w_all = np.asarray(self._embed_fns["wave"](wave, src))
-            i_all = np.asarray(self._embed_fns["time"](isi, src))
+            # Dispatch BOTH models before fetching anything, then fetch both
+            # results in ONE device_get: on the remote-attached chip each
+            # blocking fetch costs a full ~40-65 ms round trip, so
+            # fetch-after-each-model paid two of them per request.
+            w_dev = self._embed_fns["wave"](wave, src)
+            i_dev = self._embed_fns["time"](isi, src)
+            w_all, i_all = (np.asarray(a) for a in jax.device_get((w_dev, i_dev)))
             j = np.concatenate([w_all, i_all], axis=1)
         off = 0
         now = time.perf_counter()
