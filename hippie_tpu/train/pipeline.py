@@ -172,6 +172,16 @@ def _init_multimodal(key, cfg_m):
     return ckpt_mod.reorder_like(tp, p), ckpt_mod.reorder_like(ts, s)
 
 
+def _ordering_template(cfg_m, multimodal: bool = False):
+    """Torch-insertion-ordered ShapeDtypeStruct trees — for consumers that
+    only need key ORDER (BestTracker.reorder_like), not values: costs zero
+    device work / compile-service round trips, unlike a real init. Stage-3
+    seeds still use real inits (their fresh class-embedding values are kept
+    by the Q10 graft)."""
+    init = cvae.multimodal_cvae_init if multimodal else cvae.unimodal_cvae_init
+    return jax.eval_shape(lambda k: init(k, cfg_m), jax.random.PRNGKey(0))
+
+
 # ---------------------------------------------------------------------------
 # Data assembly
 # ---------------------------------------------------------------------------
@@ -836,7 +846,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         )
         with timer.stage("setup"):
             params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
-            templates[modality] = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
+            templates[modality] = _ordering_template(cfg_m)
             tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
             ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
         tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
@@ -1092,7 +1102,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         z_dim=cfg.z_dim, class_hidden_dim=cfg.class_hidden_dim,
         num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
     )
-    template = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
+    template = _ordering_template(mm_cfg, multimodal=True)
     params, bn = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
     tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
     ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
