@@ -65,11 +65,34 @@ def _pad_rows(x, rows: int):
     return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
 
-def embed_unimodal(params, bn_state, data, source, class_=None) -> jnp.ndarray:
+def _mesh_place(mesh, trees, row_arrays):
+    """Replicate model trees and shard padded row arrays over the 'data' axis.
+
+    Eval is embarrassingly data-parallel (per-row forward, eval-mode BN), so
+    batch-sharding the rows makes every extraction scale across the mesh with
+    no collectives until the final gather. Row counts are already bucketed to
+    powers of two >= 512, so any power-of-two mesh divides them; if the mesh
+    does not, the inputs are left unsharded (single-device semantics).
+    """
+    if mesh is None or row_arrays[0].shape[0] % mesh.size != 0:
+        return trees, row_arrays
+    from hippie_tpu.parallel import mesh as pmesh
+
+    repl = pmesh.replicated(mesh)
+    trees = tuple(jax.device_put(t, repl) for t in trees)
+    row_arrays = tuple(
+        jax.device_put(a, pmesh.batch_sharded(mesh, batch_axis=0, ndim=a.ndim))
+        for a in row_arrays
+    )
+    return trees, row_arrays
+
+
+def embed_unimodal(params, bn_state, data, source, class_=None, *, mesh=None) -> jnp.ndarray:
     """[N, L] -> z-scored [N, z] embeddings (single compiled forward).
 
     Eval mode uses running BN stats, so padded rows cannot influence real
-    rows; they are sliced off the result.
+    rows; they are sliced off the result. With ``mesh`` the rows are sharded
+    over the 'data' axis (params replicated) and each device embeds its shard.
     """
     n = data.shape[0]
     b = _bucket(n)
@@ -77,6 +100,8 @@ def embed_unimodal(params, bn_state, data, source, class_=None) -> jnp.ndarray:
     source = _pad_rows(jnp.asarray(source), b)
     dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
     use_class = class_ is not None
+    (params, bn_state), (data, source, dummy) = _mesh_place(
+        mesh, (params, bn_state), (data, source, dummy))
     # Routed through the process AOT executable cache (--aot-dir): a fresh
     # pipeline process skips the embed program's trace+lower+compile.
     out = aot.maybe_cached_call(
@@ -94,7 +119,7 @@ def _embed_multimodal(params, bn_state, wave, isi, source, class_, use_class: bo
         return zscore_rows(enc)
 
 
-def embed_multimodal(params, bn_state, wave, isi, source, class_=None) -> jnp.ndarray:
+def embed_multimodal(params, bn_state, wave, isi, source, class_=None, *, mesh=None) -> jnp.ndarray:
     n = wave.shape[0]
     b = _bucket(n)
     wave = _pad_rows(jnp.asarray(wave), b)
@@ -102,6 +127,8 @@ def embed_multimodal(params, bn_state, wave, isi, source, class_=None) -> jnp.nd
     source = _pad_rows(jnp.asarray(source), b)
     dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
     use_class = class_ is not None
+    (params, bn_state), (wave, isi, source, dummy) = _mesh_place(
+        mesh, (params, bn_state), (wave, isi, source, dummy))
     out = aot.maybe_cached_call(
         _embed_multimodal, (params, bn_state, wave, isi, source, dummy),
         f"embed_multimodal|ucl={use_class}", {"use_class": use_class})
@@ -115,13 +142,15 @@ def get_embeddings(
     isi: jax.Array,
     source: jax.Array,
     class_: Optional[jax.Array] = None,
+    *,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(wave_emb, isi_emb, joint) like scripts/utils.py:74-98.
 
     ``*_tree`` are (params, bn_state) pairs of the two unimodal models.
     """
-    e_wave = embed_unimodal(wave_tree[0], wave_tree[1], wave, source, class_)
-    e_time = embed_unimodal(time_tree[0], time_tree[1], isi, source, class_)
+    e_wave = embed_unimodal(wave_tree[0], wave_tree[1], wave, source, class_, mesh=mesh)
+    e_time = embed_unimodal(time_tree[0], time_tree[1], isi, source, class_, mesh=mesh)
     # Both models are already dispatched; fetch both in ONE round trip
     # (each blocking fetch costs ~40-65 ms on the remote-attached chip).
     e_wave, e_time = (np.asarray(a) for a in jax.device_get((e_wave, e_time)))

@@ -46,10 +46,14 @@ def knn_predict_sweep(
     test_x: np.ndarray,
     ks: Sequence[int],
     num_classes: int | None = None,
+    mesh=None,
 ):
     """Predictions for every k in ``ks`` in a single device pass.
 
-    Returns {k: np.ndarray[n_test]}.
+    With ``mesh`` the query rows are sharded over the 'data' axis (train set
+    replicated): each device scores its query shard against the full train
+    set, so the [n_test, n_train] distance matrix never materializes on one
+    chip. Returns {k: np.ndarray[n_test]}.
     """
     train_y = np.asarray(train_y, dtype=np.int32)
     if num_classes is None:
@@ -57,11 +61,26 @@ def knn_predict_sweep(
     max_k = int(max(ks))
     from hippie_tpu.utils import aot
 
+    n_test = test_x.shape[0]
+    train_x = jnp.asarray(train_x, jnp.float32)
+    train_y_dev = jnp.asarray(train_y)
+    test_x = jnp.asarray(test_x, jnp.float32)
+    if mesh is not None and mesh.size > 1:
+        from hippie_tpu.parallel import mesh as pmesh
+
+        pad = (-n_test) % mesh.size  # zero-row queries; their preds are dropped
+        if pad:
+            test_x = jnp.concatenate(
+                [test_x, jnp.zeros((pad, test_x.shape[1]), test_x.dtype)], axis=0)
+        repl = pmesh.replicated(mesh)
+        train_x = jax.device_put(train_x, repl)
+        train_y_dev = jax.device_put(train_y_dev, repl)
+        test_x = jax.device_put(
+            test_x, pmesh.batch_sharded(mesh, batch_axis=0, ndim=2))
+
     statics = {"max_k": max_k, "num_classes": int(num_classes)}
     preds = aot.maybe_cached_call(
-        _knn_sweep,
-        (jnp.asarray(train_x, jnp.float32), jnp.asarray(train_y),
-         jnp.asarray(test_x, jnp.float32)),
+        _knn_sweep, (train_x, train_y_dev, test_x),
         f"knn_sweep|k={max_k}|C={int(num_classes)}", statics)
-    preds = np.asarray(preds)
+    preds = np.asarray(preds)[:n_test]
     return {k: preds[:, k - 1] for k in ks}

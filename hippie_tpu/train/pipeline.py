@@ -723,6 +723,15 @@ def _finetune_split_indices(cfg: PipelineConfig, n: int, key) -> Tuple[np.ndarra
 
 
 
+def _eval_mesh(cfg: PipelineConfig):
+    """Mesh for data-parallel eval/embedding extraction (None when single-device).
+
+    Under --dp-devices the trained trees already live on the mesh; sharding
+    the extraction inputs too makes eval scale with the fit instead of
+    funnelling every forward through one device."""
+    return _dp_shardings(cfg)[0]
+
+
 def _dp_shardings(cfg: PipelineConfig):
     """(mesh, replicated, plan) for cfg.dp_devices, or (None, None, None)."""
     if not cfg.dp_devices or cfg.dp_devices <= 1:
@@ -919,6 +928,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     ft_wave_emb, ft_isi_emb, ft_joint_emb = emb.get_embeddings(
         wave_tree, time_tree,
         target.wave[emb_idx], target.isi[emb_idx], target.source[emb_idx],
+        mesh=_eval_mesh(cfg),
     )
     timer_embed.__exit__(None, None, None)
     pretrain_paths = export_pretraining_embeddings(
@@ -1009,11 +1019,11 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     timer_embed2 = timer.stage("embeddings"); timer_embed2.__enter__()
     wave_tr, isi_tr, joint_tr = emb.get_embeddings(
         wave_tree, time_tree, sup_wave[tr_idx_dev], sup_isi_p[tr_idx_dev],
-        source_dev[tr_idx_dev], emb_cls_tr,
+        source_dev[tr_idx_dev], emb_cls_tr, mesh=_eval_mesh(cfg),
     )
     wave_va, isi_va, joint_va = emb.get_embeddings(
         wave_tree, time_tree, sup_wave[va_idx_dev], sup_isi_p[va_idx_dev],
-        source_dev[va_idx_dev], emb_cls_va,
+        source_dev[va_idx_dev], emb_cls_va, mesh=_eval_mesh(cfg),
     )
 
     timer_embed2.__exit__(None, None, None)
@@ -1026,7 +1036,8 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             ("waveform", wave_tr, wave_va),
             ("isi", isi_tr, isi_va),
         ):
-            preds = knn_eval.knn_predict_sweep(e_tr, label_train, e_va, neighbor_options)
+            preds = knn_eval.knn_predict_sweep(
+                e_tr, label_train, e_va, neighbor_options, mesh=_eval_mesh(cfg))
             preds_by_kind[kind] = preds
             accs[kind] = [metrics.balanced_accuracy_score(label_val, preds[k]) for k in neighbor_options]
 
@@ -1057,7 +1068,7 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     with timer.stage("embeddings"):
         wave_all, isi_all, joint_all = emb.get_embeddings(
             wave_tree, time_tree, sup_wave, sup_isi_p, source_dev,
-            None if cfg.honest_eval else labels_dev,
+            None if cfg.honest_eval else labels_dev, mesh=_eval_mesh(cfg),
         )
     for kind, arr in (("waveform", wave_all), ("isi", isi_all), ("joint", joint_all)):
         results["paths"][f"{kind}_embeddings"] = export_embeddings_csv(cfg, kind, arr, sup_labels, le)
@@ -1167,6 +1178,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         emb.embed_multimodal(
             state.params, state.bn_state,
             target.wave[emb_idx], target.isi[emb_idx], target.source[emb_idx],
+            mesh=_eval_mesh(cfg),
         )
     )
     pretrain_paths = export_pretraining_embeddings(cfg, {"joint": ft_joint})
@@ -1232,18 +1244,19 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     joint_tr = np.asarray(
         emb.embed_multimodal(
             best_p, best_bn, sup_wave[jnp.asarray(s_tr)], sup_isi_p[jnp.asarray(s_tr)],
-            source_dev[jnp.asarray(s_tr)], emb_cls_tr,
+            source_dev[jnp.asarray(s_tr)], emb_cls_tr, mesh=_eval_mesh(cfg),
         )
     )
     joint_va = np.asarray(
         emb.embed_multimodal(
             best_p, best_bn, sup_wave[jnp.asarray(s_va)], sup_isi_p[jnp.asarray(s_va)],
-            source_dev[jnp.asarray(s_va)], emb_cls_va,
+            source_dev[jnp.asarray(s_va)], emb_cls_va, mesh=_eval_mesh(cfg),
         )
     )
 
     neighbor_options = list(range(5, 20))
-    preds = knn_eval.knn_predict_sweep(joint_tr, label_train, joint_va, neighbor_options)
+    preds = knn_eval.knn_predict_sweep(
+        joint_tr, label_train, joint_va, neighbor_options, mesh=_eval_mesh(cfg))
     accs = [metrics.balanced_accuracy_score(label_val, preds[k]) for k in neighbor_options]
     best_k = neighbor_options[int(np.argmax(accs))]
     pred = preds[best_k]
@@ -1273,7 +1286,7 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     joint_all = np.asarray(
         emb.embed_multimodal(
             best_p, best_bn, sup_wave, sup_isi_p, source_dev,
-            None if cfg.honest_eval else labels_dev,
+            None if cfg.honest_eval else labels_dev, mesh=_eval_mesh(cfg),
         )
     )
     results["paths"]["joint_embeddings"] = export_embeddings_csv(cfg, "joint", joint_all, sup_labels, le)
