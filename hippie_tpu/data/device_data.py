@@ -76,7 +76,14 @@ def batch_plan(
     """Build a statically-shaped epoch plan from an index stream.
 
     Returns (idx [nb, B] int32, mask [nb, B] float32). The final batch is
-    padded with index 0 and mask 0 (drop_last=False semantics).
+    padded with its own LAST REAL index and mask 0 (drop_last=False
+    semantics). Duplicating an in-batch sample keeps padded rows bounded
+    through every masked BatchNorm with zero in-step cost: the pads normalize
+    exactly like the sample they copy, so even the degenerate 1-real-sample
+    tail (batch variance 0, inv ~1/sqrt(eps)) maps them to the BN bias
+    instead of amplifying them layer over layer
+    (tests/test_masked_tail_robustness.py; zero-index pads blew up to inf).
+    Stats and losses exclude pads either way — real-row math is unchanged.
     """
     indices = np.asarray(indices)
     if shuffle:
@@ -87,6 +94,8 @@ def batch_plan(
     nb = max(1, -(-n // batch_size))
     padded = np.zeros(nb * batch_size, dtype=np.int32)
     padded[:n] = indices
+    if n:
+        padded[n:] = indices[n - 1]
     mask = np.zeros(nb * batch_size, dtype=np.float32)
     mask[:n] = 1.0
     return padded.reshape(nb, batch_size), mask.reshape(nb, batch_size)
@@ -159,5 +168,10 @@ def host_epoch_plan(stream, batch_size: int, shuffle: bool, key, limit=None):
     flat = np.zeros((nbB,), np.int32)
     m = min(P, nbB)
     flat[:m] = sp[:m]
+    if 0 < n_real < nbB:
+        # pad slots duplicate the last real sample (see batch_plan: keeps the
+        # degenerate tail batch bounded through masked BN at zero step cost);
+        # bit-identical to device_fit's in-device epoch_plan.
+        flat[n_real:] = flat[min(n_real, m) - 1]
     mask = (np.arange(nbB) < n_real).astype(np.float32)
     return flat.reshape(nb_pad, batch_size), mask.reshape(nb_pad, batch_size), n_keep

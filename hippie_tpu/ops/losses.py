@@ -30,6 +30,24 @@ def _masked_mean(x: jax.Array, mask: Optional[jax.Array], per_sample_elems: int)
     return jnp.sum(x * mb) / (jnp.sum(m) * per_sample_elems)
 
 
+def _guard_rows(x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Zero out padded rows BEFORE any nonlinearity in the loss.
+
+    Padded rows are excluded from batch statistics, so their activations are
+    unconstrained — in the degenerate 1-real-sample batch (a balanced stream
+    whose length is 1 mod batch_size) every [B, C] BatchNorm has batch var 0
+    and scales padded rows by ~1/sqrt(eps), stacking to ~1e7. ``exp(logvar)``
+    then overflows and the mask-multiply computes inf*0 = NaN, poisoning the
+    whole epoch. where() on the inputs keeps both values and gradients finite
+    (a plain mask-multiply of the per-row loss would still NaN in the VJP:
+    0-cotangent times the inf primal). Real-row math is untouched.
+    """
+    if mask is None:
+        return x
+    mb = (mask != 0).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mb, x, jnp.zeros((), x.dtype))
+
+
 def kl_divergence(mu: jax.Array, logvar: jax.Array) -> jax.Array:
     """Per-sample KL(N(mu, sigma^2) || N(0, 1)), summed over the latent axis."""
     return -0.5 * jnp.sum(1.0 + logvar - jnp.square(mu) - jnp.exp(logvar), axis=1)
@@ -48,7 +66,9 @@ def vae_loss(
 
     Returns (total, (mse, kl_mean)).
     """
-    mse = _masked_mean(jnp.square(data - dec), mask, data.shape[1])
+    mu = _guard_rows(mu, mask)
+    logvar = _guard_rows(logvar, mask)
+    mse = _masked_mean(jnp.square(_guard_rows(data - dec, mask)), mask, data.shape[1])
     kl = _masked_mean(kl_divergence(mu, logvar), mask, 1)
     return mse + beta * kl, (mse, kl)
 
@@ -67,8 +87,10 @@ def multimodal_vae_loss(
     mask: Optional[jax.Array] = None,
 ):
     """Joint loss (model.py:465-474). Returns (total, (mse1, mse2, kl_mean))."""
-    mse1 = _masked_mean(jnp.square(data1 - dec1), mask, data1.shape[1])
-    mse2 = _masked_mean(jnp.square(data2 - dec2), mask, data2.shape[1])
+    mu = _guard_rows(mu, mask)
+    logvar = _guard_rows(logvar, mask)
+    mse1 = _masked_mean(jnp.square(_guard_rows(data1 - dec1, mask)), mask, data1.shape[1])
+    mse2 = _masked_mean(jnp.square(_guard_rows(data2 - dec2, mask)), mask, data2.shape[1])
     kl = _masked_mean(kl_divergence(mu, logvar), mask, 1)
     total = mod1_weight * mse1 + mod2_weight * mse2 + beta * kl
     return total, (mse1, mse2, kl)

@@ -39,10 +39,14 @@ def _interpret() -> bool:
 
 def _fwd_kernel(data_ref, dec_ref, mu_ref, logvar_ref, mask_ref, mse_ref, kl_ref):
     m = mask_ref[:]  # [B, 1]
-    diff = dec_ref[:] - data_ref[:]
+    # Guard padded rows BEFORE exp/square: their activations are unconstrained
+    # (degenerate 1-real-sample BN stats blow them up to ~1e7+) and exp can
+    # overflow, after which the mask-multiply computes inf*0 = NaN (see
+    # losses._guard_rows). where() on the inputs keeps the sums finite.
+    diff = jnp.where(m > 0, dec_ref[:] - data_ref[:], 0.0)
     mse_ref[0, 0] = jnp.sum(diff * diff * m)
-    mu = mu_ref[:]
-    lv = logvar_ref[:]
+    mu = jnp.where(m > 0, mu_ref[:], 0.0)
+    lv = jnp.where(m > 0, logvar_ref[:], 0.0)
     kl = -0.5 * (1.0 + lv - mu * mu - jnp.exp(lv))
     kl_ref[0, 0] = jnp.sum(kl * m)
 
@@ -52,11 +56,12 @@ def _bwd_kernel(data_ref, dec_ref, mu_ref, logvar_ref, mask_ref, g_ref,
     g_mse = g_ref[0, 0]
     g_kl = g_ref[0, 1]
     m = mask_ref[:]
-    diff = (dec_ref[:] - data_ref[:]) * m
+    diff = jnp.where(m > 0, dec_ref[:] - data_ref[:], 0.0) * m
     ddec_ref[:] = 2.0 * g_mse * diff
     ddata_ref[:] = -2.0 * g_mse * diff
     dmu_ref[:] = g_kl * mu_ref[:] * m
-    dlogvar_ref[:] = g_kl * (-0.5) * (1.0 - jnp.exp(logvar_ref[:])) * m
+    lv = jnp.where(m > 0, logvar_ref[:], 0.0)
+    dlogvar_ref[:] = g_kl * (-0.5) * (1.0 - jnp.exp(lv)) * m
 
 
 def _vmem_specs(n):
@@ -122,7 +127,7 @@ fused_vae_sums.defvjp(_fused_fwd, _fused_bwd)
 
 def _sse_kernel(data_ref, dec_ref, mask_ref, out_ref):
     m = mask_ref[:]
-    diff = dec_ref[:] - data_ref[:]
+    diff = jnp.where(m > 0, dec_ref[:] - data_ref[:], 0.0)
     out_ref[0, 0] = jnp.sum(diff * diff * m)
 
 

@@ -93,6 +93,12 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
                 s = stream_p[epoch_shuffle_order(pkey, P, n_real)]
             m = min(P, nbB)  # static
             flat = jnp.zeros((nbB,), jnp.int32).at[:m].set(s[:m])
+            # Pad slots duplicate the last real sample (bit-identical to
+            # data.device_data.host_epoch_plan): an in-batch copy stays
+            # bounded through masked BN even in the 1-real-sample tail,
+            # where zero-index pads amplified to inf (see batch_plan).
+            last_real = flat[jnp.maximum(n_real - 1, 0)]
+            flat = jnp.where(jnp.arange(nbB) < n_real, flat, last_real)
             idx = flat.reshape(nb_pad, batch_size)
             if plan_sharding is not None:
                 idx = jax.lax.with_sharding_constraint(idx, plan_sharding)

@@ -76,6 +76,9 @@ def test_batch_plan_padding():
     assert idx.shape == (3, 4)
     np.testing.assert_array_equal(mask[-1], [1, 1, 0, 0])
     np.testing.assert_array_equal(idx[0], [0, 1, 2, 3])
+    # pads duplicate the tail batch's last real sample: an in-batch copy
+    # stays bounded through masked BN even when the tail has 1 real row
+    np.testing.assert_array_equal(idx[-1], [8, 9, 9, 9])
 
 
 def test_batch_plan_shuffle_deterministic():
