@@ -102,6 +102,34 @@ def source_revision() -> str:
     return _SOURCE_REV
 
 
+_HOST_FP: Optional[str] = None
+
+
+def _host_fingerprint() -> str:
+    """ISA fingerprint of THIS host. Folded into CPU-backend cache keys:
+    XLA:CPU executables embed machine-specific codegen (AVX-512 etc.), and a
+    .jexec written on one container deserializes cleanly on another but can
+    SIGILL at run time (cpu_aot_loader warns about exactly this). TPU
+    executables are device code — host ISA is irrelevant there."""
+    global _HOST_FP
+    if _HOST_FP is None:
+        import hashlib
+        import platform
+
+        flags = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                        break
+        except OSError:
+            pass
+        _HOST_FP = hashlib.sha256(
+            f"{platform.machine()}|{flags}".encode()).hexdigest()[:12]
+    return _HOST_FP
+
+
 def cache_key(args: tuple, static_desc: str) -> str:
     import hashlib
 
@@ -109,7 +137,9 @@ def cache_key(args: tuple, static_desc: str) -> str:
     sig = "|".join(
         f"{tuple(l.shape)}:{l.dtype}:{getattr(l, 'sharding', None)}" for l in leaves
     )
-    raw = (f"{jax.__version__}|{jax.default_backend()}|{source_revision()}|"
+    backend = jax.default_backend()
+    host = _host_fingerprint() if backend == "cpu" else ""
+    raw = (f"{jax.__version__}|{backend}|{host}|{source_revision()}|"
            f"{static_desc}|{treedef}|{sig}")
     return hashlib.sha256(raw.encode()).hexdigest()[:24]
 

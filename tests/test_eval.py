@@ -124,6 +124,24 @@ def test_eval_programs_use_aot_cache(tmp_path):
         np.testing.assert_array_equal(again_knn[k], plain_knn[k])
 
 
+def test_aot_cache_key_host_fingerprint(monkeypatch):
+    """CPU-backend cache keys fold in the host ISA fingerprint: XLA:CPU
+    executables embed machine-specific codegen, and a .jexec written on a
+    different container deserializes cleanly but can SIGILL at run time."""
+    import jax
+
+    from hippie_tpu.utils import aot
+
+    args = (np.zeros((2, 3), np.float32),)
+    k1 = aot.cache_key(args, "fp-test")
+    monkeypatch.setattr(aot, "_HOST_FP", "other-machine")
+    k2 = aot.cache_key(args, "fp-test")
+    if jax.default_backend() == "cpu":
+        assert k1 != k2  # foreign-host entries must miss
+    else:  # pragma: no cover - tests force CPU
+        assert k1 == k2  # device executables: host ISA irrelevant
+
+
 def test_aot_prune_stale_revisions(tmp_path):
     """Stale-revision entries and old tmp files are pruned when the cache is
     first used; current-revision entries and fresh tmp files survive."""
