@@ -147,6 +147,17 @@ def epoch_shuffle_order(key, P: int, n_real):
     return jnp.argsort(jnp.where(jnp.arange(P) < n_real, u, jnp.inf))
 
 
+def plan_pad_duplicate(flat, n_real):
+    """Traced pad fill for a flat [nbB] index plan: slots >= n_real duplicate
+    the last real index. An in-batch duplicate stays bounded through masked
+    BN even in the degenerate 1-real-sample tail batch (see batch_plan).
+    Used by train/device_fit's in-device epoch_plan; host_epoch_plan mirrors
+    it bit-identically in numpy (tests/test_masked_tail_robustness.py)."""
+    nbB = flat.shape[0]
+    last_real = flat[jnp.maximum(n_real - 1, 0)]
+    return jnp.where(jnp.arange(nbB) < n_real, flat, last_real)
+
+
 def host_epoch_plan(stream, batch_size: int, shuffle: bool, key, limit=None):
     """Build one epoch's (idx [nb_pad, B], mask, n_batches) on the host,
     bit-identically to the plan device_fit generates in-device — the host
@@ -169,9 +180,8 @@ def host_epoch_plan(stream, batch_size: int, shuffle: bool, key, limit=None):
     m = min(P, nbB)
     flat[:m] = sp[:m]
     if 0 < n_real < nbB:
-        # pad slots duplicate the last real sample (see batch_plan: keeps the
-        # degenerate tail batch bounded through masked BN at zero step cost);
-        # bit-identical to device_fit's in-device epoch_plan.
-        flat[n_real:] = flat[min(n_real, m) - 1]
+        # numpy mirror of plan_pad_duplicate (n_real <= min(P, nbB) = m here,
+        # so the last real slot is always flat[n_real - 1])
+        flat[n_real:] = flat[n_real - 1]
     mask = (np.arange(nbB) < n_real).astype(np.float32)
     return flat.reshape(nb_pad, batch_size), mask.reshape(nb_pad, batch_size), n_keep

@@ -66,25 +66,11 @@ def _pad_rows(x, rows: int):
 
 
 def _mesh_place(mesh, trees, row_arrays):
-    """Replicate model trees and shard padded row arrays over the 'data' axis.
-
-    Eval is embarrassingly data-parallel (per-row forward, eval-mode BN), so
-    batch-sharding the rows makes every extraction scale across the mesh with
-    no collectives until the final gather. Row counts are already bucketed to
-    powers of two >= 512, so any power-of-two mesh divides them; if the mesh
-    does not, the inputs are left unsharded (single-device semantics).
-    """
-    if mesh is None or row_arrays[0].shape[0] % mesh.size != 0:
-        return trees, row_arrays
+    """parallel.mesh.place_eval_inputs (row counts here are bucketed to
+    powers of two >= 512, so any power-of-two mesh divides them)."""
     from hippie_tpu.parallel import mesh as pmesh
 
-    repl = pmesh.replicated(mesh)
-    trees = tuple(jax.device_put(t, repl) for t in trees)
-    row_arrays = tuple(
-        jax.device_put(a, pmesh.batch_sharded(mesh, batch_axis=0, ndim=a.ndim))
-        for a in row_arrays
-    )
-    return trees, row_arrays
+    return pmesh.place_eval_inputs(mesh, trees, row_arrays)
 
 
 def embed_unimodal(params, bn_state, data, source, class_=None, *, mesh=None) -> jnp.ndarray:

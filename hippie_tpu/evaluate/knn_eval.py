@@ -66,17 +66,13 @@ def knn_predict_sweep(
     train_y_dev = jnp.asarray(train_y)
     test_x = jnp.asarray(test_x, jnp.float32)
     if mesh is not None and mesh.size > 1:
+        from hippie_tpu.data import device_data
         from hippie_tpu.parallel import mesh as pmesh
 
-        pad = (-n_test) % mesh.size  # zero-row queries; their preds are dropped
-        if pad:
-            test_x = jnp.concatenate(
-                [test_x, jnp.zeros((pad, test_x.shape[1]), test_x.dtype)], axis=0)
-        repl = pmesh.replicated(mesh)
-        train_x = jax.device_put(train_x, repl)
-        train_y_dev = jax.device_put(train_y_dev, repl)
-        test_x = jax.device_put(
-            test_x, pmesh.batch_sharded(mesh, batch_axis=0, ndim=2))
+        # zero-row query pads; their preds are sliced off below
+        test_x = device_data.pad_rows(test_x, n_test + (-n_test) % mesh.size)
+        (train_x, train_y_dev), (test_x,) = pmesh.place_eval_inputs(
+            mesh, (train_x, train_y_dev), (test_x,))
 
     statics = {"max_k": max_k, "num_classes": int(num_classes)}
     preds = aot.maybe_cached_call(

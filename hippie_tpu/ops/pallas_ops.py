@@ -59,7 +59,7 @@ def _bwd_kernel(data_ref, dec_ref, mu_ref, logvar_ref, mask_ref, g_ref,
     diff = jnp.where(m > 0, dec_ref[:] - data_ref[:], 0.0) * m
     ddec_ref[:] = 2.0 * g_mse * diff
     ddata_ref[:] = -2.0 * g_mse * diff
-    dmu_ref[:] = g_kl * mu_ref[:] * m
+    dmu_ref[:] = g_kl * jnp.where(m > 0, mu_ref[:], 0.0) * m
     lv = jnp.where(m > 0, logvar_ref[:], 0.0)
     dlogvar_ref[:] = g_kl * (-0.5) * (1.0 - jnp.exp(lv)) * m
 
@@ -154,7 +154,8 @@ def _sse_fwd(data, dec, mask_col):
 
 def _sse_bwd(res, g):
     data, dec, mask_col = res
-    diff = (dec - data) * mask_col
+    # Same inf-padded-row guard as the forward kernel: (inf - data) * 0 = NaN
+    diff = jnp.where(mask_col > 0, dec - data, 0.0) * mask_col
     return -2.0 * g * diff, 2.0 * g * diff, None
 
 

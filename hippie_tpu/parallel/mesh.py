@@ -73,6 +73,28 @@ def shard_params_fsdp(mesh: Mesh, tree, axis: str = "data"):
     )
 
 
+def place_eval_inputs(mesh: Optional[Mesh], trees: Tuple, row_arrays: Tuple):
+    """Replicate model trees and shard row arrays over 'data' for eval.
+
+    Eval is embarrassingly data-parallel (per-row forward with running BN
+    stats, or per-query KNN scoring), so batch-sharding the rows scales every
+    extraction across the mesh with no collectives until the final gather.
+    If the row count does not divide the mesh (callers bucket to powers of
+    two, or zero-pad queries to the mesh size), inputs are left unplaced —
+    single-device semantics. Shared by evaluate/embeddings.py and
+    evaluate/knn_eval.py.
+    """
+    if mesh is None or mesh.size <= 1 or row_arrays[0].shape[0] % mesh.size != 0:
+        return trees, row_arrays
+    repl = replicated(mesh)
+    trees = tuple(jax.device_put(t, repl) for t in trees)
+    row_arrays = tuple(
+        jax.device_put(a, batch_sharded(mesh, batch_axis=0, ndim=a.ndim))
+        for a in row_arrays
+    )
+    return trees, row_arrays
+
+
 def shard_epoch_inputs(mesh: Mesh, ts, data_arrays: Tuple, idx, mask):
     """Place TrainState + dataset replicated; shard the epoch plan on 'data'.
 

@@ -71,6 +71,7 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
     ``self.log``, model.py:111-113).
     """
     from hippie_tpu.data.device_data import epoch_shuffle_order
+    from hippie_tpu.data.device_data import plan_pad_duplicate as device_data_plan_pad
 
     nbB = nb_pad * batch_size
 
@@ -97,8 +98,7 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
             # data.device_data.host_epoch_plan): an in-batch copy stays
             # bounded through masked BN even in the 1-real-sample tail,
             # where zero-index pads amplified to inf (see batch_plan).
-            last_real = flat[jnp.maximum(n_real - 1, 0)]
-            flat = jnp.where(jnp.arange(nbB) < n_real, flat, last_real)
+            flat = device_data_plan_pad(flat, n_real)
             idx = flat.reshape(nb_pad, batch_size)
             if plan_sharding is not None:
                 idx = jax.lax.with_sharding_constraint(idx, plan_sharding)

@@ -27,16 +27,19 @@ from hippie_tpu.ops import losses
 from hippie_tpu.ops.pallas_ops import vae_loss_pallas
 
 
-def _overflow_inputs(b=8, l=12, z=6, n_real=2):
+def _overflow_inputs(b=8, l=12, z=6, n_real=2, inf_pads=False):
     r = np.random.default_rng(0)
     data = r.normal(size=(b, l)).astype(np.float32)
     dec = r.normal(size=(b, l)).astype(np.float32)
     mu = r.normal(size=(b, z)).astype(np.float32)
     logvar = (r.normal(size=(b, z)) * 0.3).astype(np.float32)
-    # padded rows carry blown-up activations: exp(logvar) overflows to inf
-    dec[n_real:] = 3e7
-    mu[n_real:] = 1e7
-    logvar[n_real:] = 1e5
+    # padded rows carry blown-up activations: exp(logvar) overflows to inf.
+    # inf_pads=True is the fully-degenerate case (pads already inf on entry):
+    # every mask-multiply — including in the VJPs — must where()-guard first.
+    pad = np.float32(np.inf) if inf_pads else np.float32(1.0)
+    dec[n_real:] = 3e7 * pad
+    mu[n_real:] = 1e7 * pad
+    logvar[n_real:] = 1e5 * pad
     mask = np.zeros((b,), np.float32)
     mask[:n_real] = 1.0
     return (jnp.asarray(data), jnp.asarray(dec), jnp.asarray(mu),
@@ -99,6 +102,35 @@ def test_pallas_loss_finite_with_overflowing_padded_rows():
         assert bool(jnp.isfinite(g).all()), g
 
 
+def test_pallas_losses_grads_finite_with_inf_padded_rows():
+    """Fully-degenerate pads (already inf on entry): both fused kernels'
+    custom VJPs must where()-guard before their mask-multiplies — the
+    unimodal _bwd_kernel's dmu term and multimodal's _sse_bwd once computed
+    inf*0 = NaN here."""
+    from hippie_tpu.ops.pallas_ops import multimodal_vae_loss_pallas
+
+    data, dec, mu, logvar, mask, n_real = _overflow_inputs(inf_pads=True)
+
+    def f_uni(dec, mu, logvar):
+        t, _ = vae_loss_pallas(data, dec, mu, logvar, beta=1.0, mask=mask)
+        return t
+
+    total, grads = jax.value_and_grad(f_uni, argnums=(0, 1, 2))(dec, mu, logvar)
+    assert np.isfinite(float(total))
+    for g in grads:
+        assert bool(jnp.isfinite(g).all()), g
+
+    def f_mm(dec2, mu, logvar):
+        t, _ = multimodal_vae_loss_pallas(
+            data, data, dec, dec2, mu, logvar, beta=1.0, mask=mask)
+        return t
+
+    total, grads = jax.value_and_grad(f_mm, argnums=(0, 1, 2))(dec, mu, logvar)
+    assert np.isfinite(float(total))
+    for g in grads:
+        assert bool(jnp.isfinite(g).all()), g
+
+
 def test_plan_pads_duplicate_last_real_sample():
     """All three plan builders pad with the tail's last real index, and the
     host/device builders agree bit-for-bit (trajectory contract)."""
@@ -108,7 +140,8 @@ def test_plan_pads_duplicate_last_real_sample():
     idx, mask = dd.batch_plan(np.arange(7, 12), 4, shuffle=False)
     np.testing.assert_array_equal(idx[-1], [11, 11, 11, 11])
 
-    # host_epoch_plan vs device_fit's traced epoch_plan (same key/geometry)
+    # host_epoch_plan vs the traced pad fill device_fit's epoch_plan uses
+    # (data/device_data.py::plan_pad_duplicate), same key/geometry
     key = jax.random.PRNGKey(3)
     stream = np.arange(10, 23, dtype=np.int32)  # 13 real, batch 4 -> tail of 1
     h_idx, h_mask, h_nb = dd.host_epoch_plan(stream, 4, shuffle=True, key=key)
@@ -120,8 +153,7 @@ def test_plan_pads_duplicate_last_real_sample():
     nbB = h_idx.size
     m = min(P, nbB)
     flat = jnp.zeros((nbB,), jnp.int32).at[:m].set(s[:m])
-    last_real = flat[jnp.maximum(n_real - 1, 0)]
-    flat = jnp.where(jnp.arange(nbB) < n_real, flat, last_real)
+    flat = dd.plan_pad_duplicate(flat, n_real)
     np.testing.assert_array_equal(np.asarray(flat).reshape(h_idx.shape), h_idx)
     # every pad slot duplicates the last real sample of the shuffled stream
     assert (h_idx.reshape(-1)[n_real:] == h_idx.reshape(-1)[n_real - 1]).all()
