@@ -161,7 +161,7 @@ def plan_pad_duplicate(flat, n_real):
 def host_epoch_plan(stream, batch_size: int, shuffle: bool, key, limit=None):
     """Build one epoch's (idx [nb_pad, B], mask, n_batches) on the host,
     bit-identically to the plan device_fit generates in-device — the host
-    fit loop (train/loop.py path, used for --resume) stays on the same
+    fit loop (train/loop.py path) stays on the same
     trajectory as the default whole-fit-on-device path."""
     from hippie_tpu.train.loop import limit_count
 

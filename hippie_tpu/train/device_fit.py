@@ -180,13 +180,15 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
 
 
 @jax.jit
-def _init_carry(ts, buf, sbuf):
+def _init_carry(ts, buf, sbuf, epoch, best_val, best_epoch, wait):
     # The best_* seeds must be COPIES of the live state: the whole carry is
     # donated to the fit program, and donating the same buffer twice (ts.params
-    # aliasing best_params) is an execution error.
+    # aliasing best_params) is an execution error. The loop counters are
+    # runtime scalars so fresh starts and --resume restarts share one program.
     best = jax.tree_util.tree_map(jnp.copy, (ts.params, ts.bn_state, ts.opt_state))
     return (
-        jnp.int32(0), ts, jnp.float32(jnp.inf), jnp.int32(-1), jnp.int32(0),
+        jnp.asarray(epoch, jnp.int32), ts, jnp.asarray(best_val, jnp.float32),
+        jnp.asarray(best_epoch, jnp.int32), jnp.asarray(wait, jnp.int32),
         jnp.bool_(False), *best, buf, sbuf,
         jnp.bool_(False),
     )
@@ -220,6 +222,7 @@ def device_fit(
     lr: Optional[float] = None,
     progress_every: Optional[int] = None,
     log_steps: bool = False,
+    resume_dir: Optional[str] = None,
 ) -> FitResult:
     """Run a full stage fit on device; returns a loop.FitResult.
 
@@ -233,6 +236,16 @@ def device_fit(
     reference's per-step self.log granularity, model.py:111-113).
     ``plan_sharding`` optionally constrains the generated epoch plans (the
     dp_devices path).
+
+    ``resume_dir``: orbax mid-run resume, same on-disk format as the host
+    loop (train/orbax_io.py) — the two fit loops can resume each other's
+    interrupted stages. Forces chunked execution (cadence = progress_every,
+    default every epoch for host-loop durability parity) and persists
+    (TrainState, best_val/best_epoch/wait) after each chunk. Per-epoch RNG
+    derives from (seed, epoch), so the resumed trajectory bit-matches an
+    uninterrupted run; like the host loop, best_* SNAPSHOTS are re-tracked
+    from the resume point (the best Lightning ckpt is persisted separately
+    and eagerly by the pipeline's trackers).
     """
     from hippie_tpu.data import device_data
     from hippie_tpu.train import loop as loop_mod
@@ -251,6 +264,20 @@ def device_fit(
             best_val_loss=math.inf, best_epoch=-1, epochs_run=0,
             best_opt_state=ts.opt_state, train_losses=[], val_losses=[],
         )
+
+    start_epoch, best_val0, best_epoch0, wait0 = 0, math.inf, -1, 0
+    if resume_dir is not None:
+        from hippie_tpu.train import orbax_io
+
+        resumed = orbax_io.resume_fit_state(resume_dir, ts)
+        if resumed is not None:
+            last_epoch, ts, extras = resumed
+            start_epoch = last_epoch + 1
+            best_val0 = float(extras.get("best_val", math.inf))
+            best_epoch0 = int(extras.get("best_epoch", -1))
+            wait0 = int(extras.get("wait", 0))
+            if verbose:
+                print(f"Resumed from {resume_dir} at epoch {start_epoch}")
 
     e_pad = device_data.next_pow2(max_epochs, minimum=8)
     buf = jnp.full((e_pad, len(_COLS)), jnp.nan, jnp.float32)
@@ -301,17 +328,22 @@ def device_fit(
                     out["lr"] = float(lr)
                 log_fn(out)
 
-    carry = _init_carry(ts, buf, sbuf)
-    emitted = 0
-    if progress_every and progress_every > 0:
-        budget = 0
+    carry = _init_carry(ts, buf, sbuf, start_epoch, best_val0, best_epoch0, wait0)
+    emitted = start_epoch
+    chunk = int(progress_every) if (progress_every and progress_every > 0) else None
+    if resume_dir is not None and chunk is None:
+        chunk = 1  # per-epoch durability, matching the host loop's cadence
+    if chunk is not None:
+        budget = start_epoch
+        last_saved = start_epoch - 1
         while True:
-            budget = min(budget + int(progress_every), max_epochs)
+            budget = min(budget + chunk, max_epochs)
             carry = run_chunk(carry, budget)
             # one small fetch per chunk: loop scalars + the new metric rows
-            epochs_done, stop, diverged_now = (
-                int(x) for x in jax.device_get((carry[0], carry[-1], carry[5]))
+            epochs_done, stop, diverged_now, bv, be, wt = jax.device_get(
+                (carry[0], carry[-1], carry[5], carry[2], carry[3], carry[4])
             )
+            epochs_done, stop, diverged_now = int(epochs_done), bool(stop), bool(diverged_now)
             if epochs_done > emitted:
                 rows_new = np.asarray(jax.device_get(carry[9][emitted:epochs_done]))
                 # hold back the diverged (NaN) epoch: loop.fit raises before
@@ -319,6 +351,17 @@ def device_fit(
                 n_emit = len(rows_new) - 1 if diverged_now else len(rows_new)
                 emit(rows_new[:n_emit], emitted)
                 emitted = epochs_done - (1 if diverged_now else 0)
+            if (resume_dir is not None and not diverged_now
+                    and epochs_done - 1 > last_saved):
+                # Host-loop parity: the diverged epoch is never persisted, the
+                # early-stopping epoch is (a restart resumes from it).
+                from hippie_tpu.train import orbax_io
+
+                orbax_io.save_fit_state(
+                    resume_dir, epochs_done - 1, carry[1],
+                    {"best_val": float(bv), "best_epoch": int(be), "wait": int(wt)},
+                )
+                last_saved = epochs_done - 1
             if stop or diverged_now or epochs_done >= max_epochs:
                 break
     else:
@@ -339,9 +382,9 @@ def device_fit(
     if emitted < n_replay:
         emit(rows[emitted:n_replay], emitted)
 
-    if log_steps and log_fn is not None and n_replay > 0:
+    if log_steps and log_fn is not None and n_replay > start_epoch:
         srows = np.asarray(jax.device_get(sbuf_d[:n_replay, :n_keep]))
-        for e in range(n_replay):
+        for e in range(start_epoch, n_replay):
             for i in range(n_keep):
                 log_fn({
                     "epoch": e, "step": e * n_keep + i,
@@ -369,8 +412,10 @@ def device_fit(
         best_epoch=best_epoch,
         epochs_run=epochs_run,
         best_opt_state=best_opt,
-        train_losses=[float(r[0]) for r in rows],
-        val_losses=[float(r[1]) for r in rows],
+        # Like loop.fit after a resume, the loss lists cover only the epochs
+        # THIS call ran (pre-resume rows were never computed here).
+        train_losses=[float(r[0]) for r in rows[start_epoch:]],
+        val_losses=[float(r[1]) for r in rows[start_epoch:]],
     )
 
 

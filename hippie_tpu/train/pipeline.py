@@ -136,8 +136,8 @@ class PipelineConfig:
     # validation, early stopping, best-ckpt snapshot — as ONE jitted
     # lax.while_loop (train/device_fit.py; zero per-epoch host round trips,
     # per-epoch logs replayed after the stage); "host" is the per-epoch
-    # Python loop (train/loop.py; live per-epoch prints, required for
-    # --resume, bit-compatible trajectory).
+    # Python loop (train/loop.py; live per-epoch prints, bit-compatible
+    # trajectory). --resume works with BOTH loops (shared orbax format).
     fit_loop: str = "device"
     # Live progress for device fits: run the (one) compiled fit program in
     # epoch chunks of this size with prints/logs between chunks (identical
@@ -517,8 +517,10 @@ def _fit_unimodal_stage(
 
     stream = fixed_train_stream if fixed_train_stream is not None else train_indices
 
-    if cfg.fit_loop == "device" and resume_dir is None:
+    if cfg.fit_loop == "device":
         # Whole fit as one XLA call (train/device_fit.py): no per-epoch RTTs.
+        # --resume runs the same program in chunks with orbax saves between
+        # them (same on-disk format as the host loop).
         from hippie_tpu.train import device_fit as dfit
 
         batch_step, eval_step = step.make_unimodal_steps(
@@ -542,9 +544,10 @@ def _fit_unimodal_stage(
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
             progress_every=_progress_chunk(cfg, max_epochs),
             log_steps=cfg.log_every_step,
+            resume_dir=resume_dir,
         ))
 
-    # Host-loop path only (--fit-loop host / --resume): per-epoch jitted
+    # Host-loop path only (--fit-loop host): per-epoch jitted
     # runners driven from Python.
     train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
         tx, beta=beta, use_class_labels=use_class_labels,
@@ -553,7 +556,7 @@ def _fit_unimodal_stage(
 
     def run_train(state, key, epoch):
         # Same canonical bucketed plan as device_fit generates in-device, so
-        # --fit-loop host/--resume stay on the identical trajectory.
+        # --fit-loop host stays on the identical trajectory.
         idx, mask, nb = device_data.host_epoch_plan(
             stream, batch_size, shuffle_train, jax.random.fold_in(key, 0),
             cfg.limit_train_batches,
@@ -639,7 +642,7 @@ def _fit_multimodal_stage(
 
     stream = fixed_train_stream if fixed_train_stream is not None else train_indices
 
-    if cfg.fit_loop == "device" and resume_dir is None:
+    if cfg.fit_loop == "device":
         from hippie_tpu.train import device_fit as dfit
 
         batch_step, eval_step = step.make_multimodal_steps(
@@ -665,9 +668,10 @@ def _fit_multimodal_stage(
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
             progress_every=_progress_chunk(cfg, max_epochs),
             log_steps=cfg.log_every_step,
+            resume_dir=resume_dir,
         ))
 
-    # Host-loop path only (--fit-loop host / --resume).
+    # Host-loop path only (--fit-loop host).
     train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
         tx,
         beta=cfg.beta,
@@ -680,7 +684,7 @@ def _fit_multimodal_stage(
 
     def run_train(state, key, epoch):
         # Same canonical bucketed plan as device_fit generates in-device, so
-        # --fit-loop host/--resume stay on the identical trajectory.
+        # --fit-loop host stays on the identical trajectory.
         idx, mask, nb = device_data.host_epoch_plan(
             stream, batch_size, shuffle_train, jax.random.fold_in(key, 0),
             cfg.limit_train_batches,

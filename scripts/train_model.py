@@ -87,7 +87,7 @@ def build_parser():
     parser.add_argument("--fit-loop", choices=("device", "host"), default="device",
                         help="stage fits as ONE on-device while_loop (zero per-epoch host "
                              "round trips; logs replayed post-stage) or the per-epoch host loop "
-                             "(live prints; used automatically with --resume)")
+                             "(live prints)")
     parser.add_argument("--progress-every", type=int, default=None,
                         help="device fit loop: run in N-epoch chunks with live per-epoch "
                              "prints between chunks (identical trajectory; ~0.1 s/chunk "
