@@ -44,6 +44,9 @@ def save_fit_state(directory: str, epoch: int, state, extras: dict):
 
 
 def latest_fit_state(directory: str) -> Optional[str]:
+    # orbax/tensorstore refuses relative paths on restore (save abspaths
+    # above); the CLI default checkpoint dir is the relative "checkpoints".
+    directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return None
     entries = sorted(e for e in os.listdir(directory) if e.startswith("epoch_"))
@@ -71,6 +74,19 @@ def resume_fit_state(directory: str, state_template) -> Optional[Tuple[int, Any,
     restored = _checkpointer().restore(path, item=template)
     new_state = type(state_template)(
         restored["params"], restored["bn_state"], restored["opt_state"]
+    )
+    # Re-place every leaf on the TEMPLATE's sharding: under --dp-devices /
+    # --fsdp the live TrainState is replicated / per-leaf sharded over the
+    # mesh, and the fit programs require their inputs on that mesh — orbax
+    # restores to default single-device placement, which would otherwise mix
+    # devices in one jit call. Pure placement: the resumed trajectory is
+    # unchanged.
+    import jax
+
+    new_state = jax.tree_util.tree_map(
+        lambda x, t: jax.device_put(x, t.sharding) if hasattr(t, "sharding") else x,
+        new_state,
+        state_template,
     )
     extras = restored.get("extras") or {}
     return int(restored["epoch"]), new_state, extras

@@ -25,12 +25,12 @@ def _rel(a, b):
 def _tiny_stage(fit_loop, *, max_epochs=5, patience=None, shuffle=True,
                 use_class_labels=False, limit=None, seed=7, optimizer="adamw",
                 aot_dir=None, progress_every=None, log_every_step=False,
-                resume_dir=None):
+                resume_dir=None, dp_devices=None, fsdp=False):
     cfg = pipeline.PipelineConfig(
         verbose=False, fit_loop=fit_loop, early_stopping_patience=patience,
         limit_train_batches=limit, seed=seed, optimizer=optimizer,
         aot_dir=aot_dir, progress_every=progress_every,
-        log_every_step=log_every_step,
+        log_every_step=log_every_step, dp_devices=dp_devices, fsdp=fsdp,
     )
     rng = np.random.default_rng(0)
     n = 52
@@ -338,6 +338,44 @@ def test_device_fit_resumes_host_loop_state(tmp_path):
         jax.tree_util.tree_leaves(r_full.state.params),
     ):
         assert _rel(a, b) < 1e-4
+
+
+def test_device_fit_resume_relative_dir(tmp_path, monkeypatch):
+    """The CLI's default checkpoint dir is the RELATIVE "checkpoints" —
+    orbax/tensorstore refuses relative paths on restore, so latest_fit_state
+    must abspath (caught E2E: ValueError 'Checkpoint path should be absolute')."""
+    monkeypatch.chdir(tmp_path)
+    r_full, _ = _tiny_stage("device", max_epochs=4)
+
+    _tiny_stage("device", max_epochs=2, resume_dir="resume_rel")
+    r_res, _ = _tiny_stage("device", max_epochs=4, resume_dir="resume_rel")
+
+    assert r_res.epochs_run == 4
+    np.testing.assert_array_equal(r_res.val_losses, r_full.val_losses[2:])
+
+
+def test_device_fit_resume_on_fsdp_mesh(tmp_path):
+    """--resume composes with --dp-devices/--fsdp: the orbax restore re-places
+    every leaf on the template's mesh sharding (params per-leaf sharded under
+    fsdp, plans batch-sharded), so the resumed fit runs on the mesh instead of
+    failing with mixed single-device/mesh inputs."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device conftest")
+
+    r_full, _ = _tiny_stage("device", max_epochs=4, dp_devices=8, fsdp=True)
+
+    rdir = str(tmp_path / "resume_fsdp")
+    _tiny_stage("device", max_epochs=2, dp_devices=8, fsdp=True, resume_dir=rdir)
+    r_res, _ = _tiny_stage("device", max_epochs=4, dp_devices=8, fsdp=True,
+                           resume_dir=rdir)
+
+    assert r_res.epochs_run == 4
+    np.testing.assert_array_equal(r_res.val_losses, r_full.val_losses[2:])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r_res.state.params),
+        jax.tree_util.tree_leaves(r_full.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_device_fit_divergence_raises_without_nan_log():
