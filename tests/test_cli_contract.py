@@ -37,6 +37,26 @@ def test_reference_readme_training_command_parses():
     assert args.upload_model is True
 
 
+def test_console_entry_lists_every_subcommand():
+    """The hippie-tpu console script (our working replacement for the
+    reference's broken hippie-cli entry point, pyproject.toml:53-54) must
+    advertise every wired subcommand and reject unknown ones."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hippie_tpu import cli
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main(["--help"])
+    assert rc == 0
+    help_text = buf.getvalue()
+    for sub in ("train", "train-multimodal", "sweep", "infer", "kfold",
+                "serve", "export", "synth", "bench"):
+        assert f"  {sub} " in help_text or f"{{{sub}," in help_text or f",{sub}," in help_text, sub
+    assert cli.main(["definitely-not-a-command"]) == 2
+
+
 def test_reference_inference_command_parses():
     import importlib.util
 
