@@ -110,14 +110,17 @@ def main():
 
         return jax.lax.fori_loop(0, iters, body, (p, s, o))
 
+    opt0 = tx.init(params)  # OUTSIDE the timed window: eager remote init
+    _ = jax.block_until_ready(jax.tree_util.tree_leaves(opt0)[0])
+
     def timed(name, overhead_ms):
         fn = jax.jit(step_loop)
-        out = fn(params, bn, tx.init(params))  # compile + warmup
+        out = fn(params, bn, opt0)  # compile + warmup
         _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
         best = None
         for _rep in range(3):
             t0 = time.perf_counter()
-            out = fn(params, bn, tx.init(params))
+            out = fn(params, bn, opt0)
             _ = float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
             dt = ((time.perf_counter() - t0) * 1e3 - overhead_ms) / iters
             best = dt if best is None else min(best, dt)
