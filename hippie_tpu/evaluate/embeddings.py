@@ -65,14 +65,6 @@ def _pad_rows(x, rows: int):
     return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
 
 
-def _mesh_place(mesh, trees, row_arrays):
-    """parallel.mesh.place_eval_inputs (row counts here are bucketed to
-    powers of two >= 512, so any power-of-two mesh divides them)."""
-    from hippie_tpu.parallel import mesh as pmesh
-
-    return pmesh.place_eval_inputs(mesh, trees, row_arrays)
-
-
 def embed_unimodal(params, bn_state, data, source, class_=None, *, mesh=None) -> jnp.ndarray:
     """[N, L] -> z-scored [N, z] embeddings (single compiled forward).
 
@@ -86,7 +78,9 @@ def embed_unimodal(params, bn_state, data, source, class_=None, *, mesh=None) ->
     source = _pad_rows(jnp.asarray(source), b)
     dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
     use_class = class_ is not None
-    (params, bn_state), (data, source, dummy) = _mesh_place(
+    from hippie_tpu.parallel import mesh as pmesh
+
+    (params, bn_state), (data, source, dummy) = pmesh.place_eval_inputs(
         mesh, (params, bn_state), (data, source, dummy))
     # Routed through the process AOT executable cache (--aot-dir): a fresh
     # pipeline process skips the embed program's trace+lower+compile.
@@ -113,7 +107,9 @@ def embed_multimodal(params, bn_state, wave, isi, source, class_=None, *, mesh=N
     source = _pad_rows(jnp.asarray(source), b)
     dummy = source if class_ is None else _pad_rows(jnp.asarray(class_), b)
     use_class = class_ is not None
-    (params, bn_state), (wave, isi, source, dummy) = _mesh_place(
+    from hippie_tpu.parallel import mesh as pmesh
+
+    (params, bn_state), (wave, isi, source, dummy) = pmesh.place_eval_inputs(
         mesh, (params, bn_state), (wave, isi, source, dummy))
     out = aot.maybe_cached_call(
         _embed_multimodal, (params, bn_state, wave, isi, source, dummy),

@@ -180,12 +180,16 @@ def _build_fit(batch_step, eval_step, *, use_class_labels: bool, shuffle: bool,
 
 
 @jax.jit
-def _init_carry(ts, buf, sbuf, epoch, best_val, best_epoch, wait):
+def _init_carry(ts, buf, sbuf, epoch, best_val, best_epoch, wait, best3=None):
     # The best_* seeds must be COPIES of the live state: the whole carry is
     # donated to the fit program, and donating the same buffer twice (ts.params
     # aliasing best_params) is an execution error. The loop counters are
     # runtime scalars so fresh starts and --resume restarts share one program.
-    best = jax.tree_util.tree_map(jnp.copy, (ts.params, ts.bn_state, ts.opt_state))
+    # ``best3``: a restored best snapshot (params, bn, opt) from --resume —
+    # fresh orbax buffers, never aliased to ts, so they seed the best slots
+    # directly.
+    best = (best3 if best3 is not None else
+            jax.tree_util.tree_map(jnp.copy, (ts.params, ts.bn_state, ts.opt_state)))
     return (
         jnp.asarray(epoch, jnp.int32), ts, jnp.asarray(best_val, jnp.float32),
         jnp.asarray(best_epoch, jnp.int32), jnp.asarray(wait, jnp.int32),
@@ -241,11 +245,12 @@ def device_fit(
     loop (train/orbax_io.py) — the two fit loops can resume each other's
     interrupted stages. Forces chunked execution (cadence = progress_every,
     default every epoch for host-loop durability parity) and persists
-    (TrainState, best_val/best_epoch/wait) after each chunk. Per-epoch RNG
-    derives from (seed, epoch), so the resumed trajectory bit-matches an
-    uninterrupted run; like the host loop, best_* SNAPSHOTS are re-tracked
-    from the resume point (the best Lightning ckpt is persisted separately
-    and eagerly by the pipeline's trackers).
+    (TrainState, best_val/best_epoch/wait) after each chunk, plus the best
+    snapshot whenever it advanced (so a restart returns the TRUE best weights
+    even when no post-resume epoch improves). Per-epoch RNG derives from
+    (seed, epoch), so the resumed trajectory bit-matches an uninterrupted
+    run. Legacy resume dirs without a best_* checkpoint fall back to
+    re-tracking the best from the resume point.
     """
     from hippie_tpu.data import device_data
     from hippie_tpu.train import loop as loop_mod
@@ -265,13 +270,13 @@ def device_fit(
             best_opt_state=ts.opt_state, train_losses=[], val_losses=[],
         )
 
-    start_epoch, best_val0, best_epoch0, wait0 = 0, math.inf, -1, 0
+    start_epoch, best_val0, best_epoch0, wait0, best0 = 0, math.inf, -1, 0, None
     if resume_dir is not None:
         from hippie_tpu.train import orbax_io
 
         resumed = orbax_io.resume_fit_state(resume_dir, ts)
         if resumed is not None:
-            last_epoch, ts, extras = resumed
+            last_epoch, ts, extras, best0 = resumed
             start_epoch = last_epoch + 1
             best_val0 = float(extras.get("best_val", math.inf))
             best_epoch0 = int(extras.get("best_epoch", -1))
@@ -328,7 +333,8 @@ def device_fit(
                     out["lr"] = float(lr)
                 log_fn(out)
 
-    carry = _init_carry(ts, buf, sbuf, start_epoch, best_val0, best_epoch0, wait0)
+    carry = _init_carry(ts, buf, sbuf, start_epoch, best_val0, best_epoch0, wait0,
+                        best3=best0)
     emitted = start_epoch
     chunk = int(progress_every) if (progress_every and progress_every > 0) else None
     if resume_dir is not None and chunk is None:
@@ -336,6 +342,7 @@ def device_fit(
     if chunk is not None:
         budget = start_epoch
         last_saved = start_epoch - 1
+        last_best_saved = best_epoch0
         while True:
             budget = min(budget + chunk, max_epochs)
             carry = run_chunk(carry, budget)
@@ -354,14 +361,21 @@ def device_fit(
             if (resume_dir is not None and not diverged_now
                     and epochs_done - 1 > last_saved):
                 # Host-loop parity: the diverged epoch is never persisted, the
-                # early-stopping epoch is (a restart resumes from it).
+                # early-stopping epoch is (a restart resumes from it). The
+                # best snapshot (carry slots 6-8) rides along whenever it
+                # advanced during this chunk — without it a crash after the
+                # best epoch would lose the best weights (the Lightning ckpt
+                # is flushed lazily at pipeline end).
                 from hippie_tpu.train import orbax_io
 
                 orbax_io.save_fit_state(
                     resume_dir, epochs_done - 1, carry[1],
                     {"best_val": float(bv), "best_epoch": int(be), "wait": int(wt)},
+                    best=((carry[6], carry[7], carry[8], int(be))
+                          if int(be) > last_best_saved else None),
                 )
                 last_saved = epochs_done - 1
+                last_best_saved = max(last_best_saved, int(be))
             if stop or diverged_now or epochs_done >= max_epochs:
                 break
     else:

@@ -102,15 +102,18 @@ def fit(
 
         resumed = orbax_io.resume_fit_state(resume_dir, state)
         if resumed is not None:
-            last_epoch, state, extras = resumed
+            last_epoch, state, extras, best = resumed
             start_epoch = last_epoch + 1
             best_val = float(extras.get("best_val", math.inf))
             best_epoch = int(extras.get("best_epoch", -1))
             wait = int(extras.get("wait", 0))
-            # NOTE: best_* snapshots are only tracked from the resume point
-            # onward unless the best epoch is re-achieved; callers persist the
-            # best ckpt separately (BestTracker writes it to disk eagerly).
-            best_params, best_bn, best_opt = state.params, state.bn_state, state.opt_state
+            if best is not None:
+                # The persisted best snapshot: without it, a resumed run whose
+                # remaining epochs never improve would return the resume-point
+                # weights labeled with the pre-crash best metrics.
+                best_params, best_bn, best_opt = best
+            else:  # legacy resume dir without a best_* checkpoint
+                best_params, best_bn, best_opt = state.params, state.bn_state, state.opt_state
             if verbose:
                 print(f"Resumed from {resume_dir} at epoch {start_epoch}")
 
@@ -173,12 +176,15 @@ def fit(
         if resume_dir is not None:
             # Deliberate ordering: the epoch state is saved BEFORE the
             # patience break so a restart resumes from the stopping epoch;
-            # epochs run and final states match the non-resume path.
+            # epochs run and final states match the non-resume path. The best
+            # snapshot rides along only on epochs that improved it.
             from hippie_tpu.train import orbax_io
 
             orbax_io.save_fit_state(
                 resume_dir, epoch, state,
                 {"best_val": best_val, "best_epoch": best_epoch, "wait": wait},
+                best=((best_params, best_bn, best_opt, best_epoch)
+                      if best_epoch == epoch else None),
             )
             if early_stopping_patience is not None and wait >= early_stopping_patience:
                 break

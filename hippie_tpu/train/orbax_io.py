@@ -22,10 +22,47 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_fit_state(directory: str, epoch: int, state, extras: dict):
-    """Persist TrainState + loop bookkeeping for ``resume_fit_state``."""
+def _complete_entries(directory: str, prefix: str) -> list:
+    """COMPLETE checkpoints under ``directory`` named ``<prefix><6 digits>``,
+    sorted. A process killed mid-save leaves ``<name>.orbax-checkpoint-tmp-*``
+    dirs; a bare startswith() filter would pick such a tmp as the resume
+    source (it sorts after the last complete epoch) and restore garbage —
+    caught live by killing a pipeline mid-epoch-save."""
+    import re
+
+    pat = re.compile(re.escape(prefix) + r"\d{6}$")
+    try:
+        names = os.listdir(directory)
+    except OSError:
+        return []
+    return sorted(n for n in names if pat.fullmatch(n))
+
+
+def save_fit_state(directory: str, epoch: int, state, extras: dict, best=None):
+    """Persist TrainState + loop bookkeeping for ``resume_fit_state``.
+
+    ``best``: optional ``(best_params, best_bn, best_opt, best_epoch)``. The
+    best snapshot is crash-critical state: without it, a restart whose
+    remaining epochs never beat the restored ``best_val`` would silently
+    return the RESUME-POINT weights labeled with the pre-crash best metrics
+    (the Lightning best ckpt is flushed lazily by the pipeline trackers, so
+    it is not on disk yet either). Callers pass it only when the best
+    advanced since their last save, so steady-state saves stay one tree.
+    """
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
+    import shutil
+
+    if best is not None:
+        b_params, b_bn, b_opt, b_epoch = best
+        bpath = os.path.join(directory, f"best_{int(b_epoch):06d}")
+        _checkpointer().save(
+            bpath,
+            {"params": b_params, "bn_state": b_bn, "opt_state": b_opt},
+            force=True,
+        )
+        for stale in _complete_entries(directory, "best_")[:-2]:
+            shutil.rmtree(os.path.join(directory, stale), ignore_errors=True)
     payload = {
         "epoch": np.asarray(epoch),
         "params": state.params,
@@ -35,12 +72,14 @@ def save_fit_state(directory: str, epoch: int, state, extras: dict):
     }
     path = os.path.join(directory, f"epoch_{epoch:06d}")
     _checkpointer().save(path, payload, force=True)
-    # keep only the latest two epochs
-    entries = sorted(e for e in os.listdir(directory) if e.startswith("epoch_"))
-    for stale in entries[:-2]:
-        import shutil
-
+    # keep only the latest two epochs; also reap tmp dirs from crashed saves
+    for stale in _complete_entries(directory, "epoch_")[:-2]:
         shutil.rmtree(os.path.join(directory, stale), ignore_errors=True)
+    # PyTreeCheckpointer.save is blocking, so any tmp left now is from a
+    # previous crashed save of this (single-writer) resume dir.
+    for leftover in os.listdir(directory):
+        if ".orbax-checkpoint-tmp" in leftover:
+            shutil.rmtree(os.path.join(directory, leftover), ignore_errors=True)
 
 
 def latest_fit_state(directory: str) -> Optional[str]:
@@ -49,12 +88,33 @@ def latest_fit_state(directory: str) -> Optional[str]:
     directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return None
-    entries = sorted(e for e in os.listdir(directory) if e.startswith("epoch_"))
+    entries = _complete_entries(directory, "epoch_")
     return os.path.join(directory, entries[-1]) if entries else None
 
 
-def resume_fit_state(directory: str, state_template) -> Optional[Tuple[int, Any, dict]]:
-    """Restore (epoch, TrainState, extras) from the latest saved epoch."""
+def _replace_on_template(tree, template):
+    # Re-place every leaf on the TEMPLATE's sharding: under --dp-devices /
+    # --fsdp the live TrainState is replicated / per-leaf sharded over the
+    # mesh, and the fit programs require their inputs on that mesh — orbax
+    # restores to default single-device placement, which would otherwise mix
+    # devices in one jit call. Pure placement: the resumed trajectory is
+    # unchanged.
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x, t: jax.device_put(x, t.sharding) if hasattr(t, "sharding") else x,
+        tree,
+        template,
+    )
+
+
+def resume_fit_state(directory: str, state_template) -> Optional[Tuple[int, Any, dict, Any]]:
+    """Restore (epoch, TrainState, extras, best) from the latest saved epoch.
+
+    ``best`` is the persisted best snapshot ``(params, bn_state, opt_state)``
+    when a ``best_{extras['best_epoch']}`` checkpoint exists (see
+    ``save_fit_state``), else None — a None means the caller can only
+    re-track the best from the resume point onward (legacy resume dirs)."""
     path = latest_fit_state(directory)
     if path is None:
         return None
@@ -69,24 +129,29 @@ def resume_fit_state(directory: str, state_template) -> Optional[Tuple[int, Any,
             "wait": np.asarray(0),
         },
     }
-    import orbax.checkpoint as ocp
-
     restored = _checkpointer().restore(path, item=template)
     new_state = type(state_template)(
         restored["params"], restored["bn_state"], restored["opt_state"]
     )
-    # Re-place every leaf on the TEMPLATE's sharding: under --dp-devices /
-    # --fsdp the live TrainState is replicated / per-leaf sharded over the
-    # mesh, and the fit programs require their inputs on that mesh — orbax
-    # restores to default single-device placement, which would otherwise mix
-    # devices in one jit call. Pure placement: the resumed trajectory is
-    # unchanged.
-    import jax
-
-    new_state = jax.tree_util.tree_map(
-        lambda x, t: jax.device_put(x, t.sharding) if hasattr(t, "sharding") else x,
-        new_state,
-        state_template,
-    )
+    new_state = _replace_on_template(new_state, state_template)
     extras = restored.get("extras") or {}
-    return int(restored["epoch"]), new_state, extras
+
+    best = None
+    best_epoch = int(np.asarray(extras.get("best_epoch", -1)))
+    directory = os.path.abspath(directory)
+    bpath = os.path.join(directory, f"best_{best_epoch:06d}")
+    # Only trust a best dir that matches the restored counters: a crash
+    # between the best write and the epoch write can leave a NEWER best dir
+    # than the epoch state knows about — re-tracking re-creates it exactly.
+    if best_epoch >= 0 and os.path.isdir(bpath):
+        btemplate = {
+            "params": state_template.params,
+            "bn_state": state_template.bn_state,
+            "opt_state": state_template.opt_state,
+        }
+        b = _checkpointer().restore(bpath, item=btemplate)
+        best = _replace_on_template(
+            (b["params"], b["bn_state"], b["opt_state"]),
+            (state_template.params, state_template.bn_state, state_template.opt_state),
+        )
+    return int(restored["epoch"]), new_state, extras, best

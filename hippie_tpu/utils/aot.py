@@ -248,6 +248,17 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
         return loaded(*args)
 
     # ---- fallback: jax.export StableHLO artifact --------------------------
+    # The exported-artifact path does not carry multi-device shardings (the
+    # reason device_fit pre-guards its dp programs). Eval programs with
+    # mesh-sharded inputs (embed_*/knn_predict_sweep with mesh=) reach here
+    # through maybe_cached_call, so guard centrally: run uncached rather
+    # than exporting a program that would lose its placement.
+    if any(
+        hasattr(leaf, "sharding") and len(getattr(leaf.sharding, "device_set", ())) > 1
+        for leaf in jax.tree_util.tree_leaves(args)
+    ):
+        return fn(*args, **lower_kwargs)
+
     from jax import export as jexport
 
     register_io_namedtuples(args)

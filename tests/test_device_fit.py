@@ -313,13 +313,39 @@ def test_device_fit_resume_matches_uninterrupted(tmp_path):
         jax.tree_util.tree_leaves(r_full.state.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # best tracking continues with the restored counters: the full run's best
-    # val loss is reproduced when the best epoch falls after the resume point,
-    # and is never better than the full run's
-    assert r_part2.best_val_loss >= r_full.best_val_loss - 1e-12
-    if r_full.best_epoch >= 3:
-        assert r_part2.best_epoch == r_full.best_epoch
-        assert r_part2.best_val_loss == r_full.best_val_loss
+    # best tracking continues with the restored counters AND the restored
+    # best snapshot, so the full run's best is reproduced regardless of
+    # whether the best epoch falls before or after the resume point
+    assert r_part2.best_epoch == r_full.best_epoch
+    assert r_part2.best_val_loss == r_full.best_val_loss
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r_part2.best_params),
+        jax.tree_util.tree_leaves(r_full.best_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_fit_resume_preserves_best_before_interrupt(tmp_path):
+    """Crash AFTER the best epoch under the DEFAULT device loop: the resumed
+    fit must return the TRUE best weights from the persisted best snapshot,
+    not the resume-point weights (the Lightning best ckpt is flushed lazily
+    at pipeline end, so a crash leaves only the orbax resume dir)."""
+    # max_epochs=3 at the harness lr puts the best at epoch 1 (val trajectory
+    # 1.2742, 1.2689, 1.2935); precondition asserted.
+    r_full, _ = _tiny_stage("device", max_epochs=3)
+    assert r_full.best_epoch < 2, "scenario precondition: best before interrupt"
+
+    rdir = str(tmp_path / "resume_best_dev")
+    _tiny_stage("device", max_epochs=2, resume_dir=rdir)
+    r_part2, _ = _tiny_stage("device", max_epochs=3, resume_dir=rdir)
+
+    assert r_part2.best_epoch == r_full.best_epoch
+    assert r_part2.best_val_loss == r_full.best_val_loss
+    for a, b in zip(
+        jax.tree_util.tree_leaves((r_full.best_params, r_full.best_bn_state)),
+        jax.tree_util.tree_leaves((r_part2.best_params, r_part2.best_bn_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_device_fit_resumes_host_loop_state(tmp_path):

@@ -10,10 +10,10 @@ from hippie_tpu.models import cvae
 from hippie_tpu.train import loop, optim, step
 
 
-def _setup():
+def _setup(lr=1e-3):
     cfg = cvae.CVAEConfig(z_dim=4, output_size=50, num_blocks=(1, 1, 1, 1))
     params, bn = cvae.unimodal_cvae_init(jax.random.PRNGKey(0), cfg)
-    tx = optim.make_optimizer(1e-3, 0.01)
+    tx = optim.make_optimizer(lr, 0.01)
     ts = step.TrainState(params, bn, tx.init(params))
     train_epoch, eval_epoch = step.make_unimodal_epoch_fns(tx, beta=1.0, use_class_labels=False)
     n = 48
@@ -54,6 +54,41 @@ def test_resume_matches_uninterrupted(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_resume_preserves_best_from_before_the_interrupt(tmp_path):
+    """Crash AFTER the best epoch: the resumed fit must return the TRUE best
+    weights, not the resume-point weights mislabeled with the pre-crash best
+    metrics. The best snapshot is persisted in the orbax resume state the
+    epoch it improves (the Lightning best ckpt is flushed lazily by the
+    pipeline trackers, so it cannot be relied on after a crash)."""
+    # lr chosen so validation WORSENS after an early best (probed: best at
+    # epoch 1 of 6); the scenario precondition is asserted below.
+    ts, run_train, run_val = _setup(lr=5e-3)
+    full = loop.fit(ts, run_train_epoch=run_train, run_val_epoch=run_val,
+                    max_epochs=6, seed=11, verbose=False)
+    assert full.best_epoch < 3, "scenario precondition: best before interrupt"
+
+    ts2, run_train, run_val = _setup(lr=5e-3)
+    rdir = str(tmp_path / "resume_best")
+    part1 = loop.fit(ts2, run_train_epoch=run_train, run_val_epoch=run_val,
+                     max_epochs=3, seed=11, verbose=False, resume_dir=rdir)
+    # "crash" here: nothing flushed the best ckpt; only the orbax dir survives
+    part2 = loop.fit(part1.state, run_train_epoch=run_train, run_val_epoch=run_val,
+                     max_epochs=6, seed=11, verbose=False, resume_dir=rdir)
+
+    assert part2.best_epoch == full.best_epoch
+    assert part2.best_val_loss == full.best_val_loss
+    for a, b in zip(
+        jax.tree_util.tree_leaves((full.best_params, full.best_bn_state)),
+        jax.tree_util.tree_leaves((part2.best_params, part2.best_bn_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full.best_opt_state),
+        jax.tree_util.tree_leaves(part2.best_opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_orbax_keeps_latest_two(tmp_path):
     import os
 
@@ -68,3 +103,27 @@ def test_orbax_keeps_latest_two(tmp_path):
     entries = sorted(x for x in os.listdir(d) if x.startswith("epoch_"))
     assert entries == ["epoch_000002", "epoch_000003"]
     assert orbax_io.latest_fit_state(d).endswith("epoch_000003")
+
+
+def test_crashed_save_tmp_dir_is_not_a_resume_source(tmp_path):
+    """A process killed mid-save leaves epoch_NNNNNN.orbax-checkpoint-tmp*;
+    it sorts AFTER the last complete epoch, so a bare startswith() filter
+    would restore the half-written dir (caught live by killing a pipeline
+    during an epoch save). latest_fit_state must skip it and the next save
+    must reap it."""
+    import os
+
+    import jax.numpy as jnp
+
+    from hippie_tpu.train import orbax_io, step
+
+    ts = step.TrainState({"w": jnp.zeros((2, 2))}, {"m": jnp.zeros(2)}, {"o": jnp.zeros(1)})
+    d = str(tmp_path / "r")
+    orbax_io.save_fit_state(d, 0, ts, {"best_val": 1.0, "best_epoch": 0, "wait": 0})
+    tmp_dir = os.path.join(d, "epoch_000001.orbax-checkpoint-tmp")
+    os.makedirs(tmp_dir)  # simulated kill mid-save of epoch 1
+    assert orbax_io.latest_fit_state(d).endswith("epoch_000000")
+    resumed = orbax_io.resume_fit_state(d, ts)
+    assert resumed is not None and resumed[0] == 0
+    orbax_io.save_fit_state(d, 1, ts, {"best_val": 1.0, "best_epoch": 0, "wait": 0})
+    assert not os.path.isdir(tmp_dir)  # reaped by the completed save
