@@ -120,17 +120,21 @@ def load_model_from_ckpt(path_or_payload, *, multimodal: bool = None,
     return params, bn, cfg
 
 
-def _embedder(params, bn_state, multimodal: bool):
+def _embedder(params, bn_state, multimodal: bool, precision: str = "highest"):
+    """``precision='highest'`` is the parity contract (fp32-exact matmuls,
+    matching evaluate/embeddings.py); ``'default'`` lets the TPU multiply in
+    bf16 (~1 ulp-of-bf16 embedding drift, measured cosine vs highest in
+    RESULTS.md) for higher serving throughput. CPU ignores the distinction."""
     if multimodal:
         def embed(wave, isi, source):
-            with jax.default_matmul_precision("highest"):
+            with jax.default_matmul_precision(precision):
                 (enc, *_), _ = cvae.multimodal_cvae_apply(
                     params, bn_state, wave, isi, source, None, training=False
                 )
                 return zscore_rows(enc)
     else:
         def embed(data, source):
-            with jax.default_matmul_precision("highest"):
+            with jax.default_matmul_precision(precision):
                 (enc, *_), _ = cvae.unimodal_cvae_apply(
                     params, bn_state, data, source, None, training=False
                 )
@@ -145,12 +149,14 @@ def export_embedder(
     input_len: Optional[int] = None,
     input_lens: Optional[Tuple[int, int]] = None,
     platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    precision: str = "highest",
 ) -> bytes:
     """Serialize the z-scored embedding forward. Unimodal when ``input_len``
     is given; multimodal (wave, isi) when ``input_lens`` is. The batch
-    dimension is symbolic — one artifact serves every request size."""
+    dimension is symbolic — one artifact serves every request size.
+    ``precision``: see ``_embedder``."""
     multimodal = input_lens is not None
-    embed = jax.jit(_embedder(params, bn_state, multimodal))
+    embed = jax.jit(_embedder(params, bn_state, multimodal, precision=precision))
     (b,) = jexport.symbolic_shape("b")
     src = jax.ShapeDtypeStruct((b,), jnp.int32)
     if multimodal:
@@ -207,6 +213,7 @@ def export_from_checkpoint(
     out_path: str,
     *,
     platforms: Tuple[str, ...] = ("cpu", "tpu"),
+    precision: str = "highest",
 ) -> dict:
     """Lightning .ckpt -> deployable artifact; returns the manifest.
 
@@ -230,7 +237,7 @@ def export_from_checkpoint(
         blob = export_embedder(
             params, bn,
             input_lens=(cfg_m.output_size_wave, cfg_m.output_size_isi),
-            platforms=platforms,
+            platforms=platforms, precision=precision,
         )
         geometry = {"modality": "multimodal",
                     "input_lens": [cfg_m.output_size_wave, cfg_m.output_size_isi]}
@@ -241,7 +248,8 @@ def export_from_checkpoint(
         )
         params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
         blob = export_embedder(
-            params, bn, input_len=cfg_m.output_size, platforms=platforms
+            params, bn, input_len=cfg_m.output_size, platforms=platforms,
+            precision=precision,
         )
         geometry = {"modality": "unimodal", "input_len": cfg_m.output_size}
     manifest = {
@@ -251,6 +259,7 @@ def export_from_checkpoint(
         "num_classes": cfg_m.num_classes,
         "num_blocks": list(cfg_m.num_blocks),
         "platforms": list(platforms),
+        "precision": precision,
         "source_checkpoint": ckpt_path,
         "jax_version": jax.__version__,
     }

@@ -24,6 +24,11 @@ def build_parser():
     p.add_argument("--output", required=True, help="artifact path (zip: manifest.json + model.shlo)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets baked into the artifact")
+    p.add_argument("--precision", choices=("highest", "default"), default="highest",
+                   help="matmul precision baked into the artifact: 'highest' is the "
+                        "fp32-exact parity contract; 'default' lets the TPU multiply "
+                        "in bf16 for higher serving throughput (measured drift and "
+                        "rows/s in RESULTS.md; no effect on cpu)")
     return p
 
 
@@ -37,6 +42,7 @@ def main(argv=None):
     manifest = hexport.export_from_checkpoint(
         args.checkpoint, args.output,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
+        precision=args.precision,
     )
     size = os.path.getsize(args.output)
     print(f"exported {args.checkpoint} -> {args.output} ({size/1e6:.1f} MB)")

@@ -34,6 +34,27 @@ def test_exported_embedder_matches_library(small_model, tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_export_default_precision_close_to_highest(small_model, tmp_path):
+    """--precision default bakes TPU-bf16 matmuls into the artifact for
+    serving throughput; embeddings must stay close to the fp32-exact parity
+    contract (on CPU both lower to fp32, so the export path itself — flag
+    plumbing, manifest, symbolic batch — is what this pins)."""
+    cfg_m, params, bn = small_model
+    blob = hexport.export_embedder(params, bn, input_len=50, platforms=("cpu",),
+                                   precision="default")
+    path = tmp_path / "wave_fast.hippie"
+    hexport.save_artifact(str(path), blob, {"modality": "unimodal", "input_len": 50})
+    call, _ = hexport.load_artifact(str(path))
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=(9, 50)).astype(np.float32)
+    src = np.zeros((9,), np.int32)
+    got = call(data, src)
+    want = np.asarray(emb.embed_unimodal(params, bn, jnp.asarray(data), jnp.asarray(src)))
+    cos = np.sum(got * want, 1) / (
+        np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1))
+    assert cos.min() > 0.999
+
+
 def test_export_multimodal_embedder(tmp_path):
     cfg_m = cvae.MultiModalConfig(z_dim=4, num_blocks=(1, 1, 1, 1))
     params, bn = cvae.multimodal_cvae_init(jax.random.PRNGKey(2), cfg_m)
