@@ -106,6 +106,9 @@ def read_numeric_csv(path: str, *, skip_header: bool = True) -> np.ndarray:
         if res_ptr:
             res = res_ptr.contents
             try:
+                # err 2 (short rows, NaN-padded) matches pandas; err 4 (long
+                # rows) falls through to pandas, which raises ParserError —
+                # silently truncating extra fields would train on bad data.
                 if res.err in (0, 2) and res.rows > 0:
                     n = res.rows * res.cols
                     arr = np.ctypeslib.as_array(res.data, shape=(n,)).astype(
@@ -118,4 +121,6 @@ def read_numeric_csv(path: str, *, skip_header: bool = True) -> np.ndarray:
                 lib.fastcsv_free(res_ptr)
     import pandas as pd
 
-    return pd.read_csv(path).to_numpy(dtype=np.float32)
+    return pd.read_csv(
+        path, header=0 if skip_header else None
+    ).to_numpy(dtype=np.float32)

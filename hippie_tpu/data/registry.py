@@ -67,7 +67,8 @@ def discover_datasets(data_root: str) -> list:
     Reference names keep their reference source IDs; new names get fresh
     sequential IDs in sorted-name order. An optional
     ``<data_root>/registry.json`` mapping ``{name: source_id}`` pins IDs
-    declaratively and takes precedence for those names. Every assignment is
+    declaratively and takes precedence for those names; every pin reserves
+    its ID even when the dataset directory is absent. Every assignment is
     persisted back to ``registry.json``, so IDs are stable across processes
     AND across later additions of new dataset directories (an unpinned
     sorted-order assignment alone would silently remap already-trained
@@ -86,6 +87,18 @@ def discover_datasets(data_root: str) -> list:
             raise ValueError(f"{manifest} must be a JSON object of name -> source_id")
         pinned = {str(k): int(v) for k, v in raw.items()}
 
+    # EVERY pin reserves its ID, present directory or not: a pin for an
+    # absent dataset (other machine, unmounted data) must still block fresh
+    # sequential assignment from colliding with it — two datasets silently
+    # sharing a source embedding would defeat the manifest's stability
+    # guarantee. Registered-but-absent names are harmless downstream (the
+    # pretrain pool loader skips missing directories).
+    new = []
+    for name in sorted(pinned):
+        if name not in DATASET_SOURCE_IDS:
+            new.append(name)
+        register_dataset(name, pinned[name])
+
     found = []
     if os.path.isdir(data_root):
         for entry in sorted(os.listdir(data_root)):
@@ -96,18 +109,16 @@ def discover_datasets(data_root: str) -> list:
                     and entry not in DATASET_SOURCE_IDS):
                 found.append(entry)
 
-    # Pinned names first (their IDs may raise NUM_SOURCES), then the rest.
-    new = []
-    for name in sorted(found, key=lambda n: (n not in pinned, n)):
-        register_dataset(name, pinned.get(name))
+    for name in sorted(found):
+        register_dataset(name, None)
         new.append(name)
 
     # Persist fresh assignments so a later discovery (with more directories
     # present) can never remap the IDs this process trained against.
-    unpersisted = [n for n in new if n not in pinned]
+    unpersisted = [n for n in found if n not in pinned]
     if unpersisted:
         merged = dict(pinned)
-        merged.update({n: DATASET_SOURCE_IDS[n] for n in new})
+        merged.update({n: DATASET_SOURCE_IDS[n] for n in unpersisted})
         try:
             tmp = f"{manifest}.tmp.{os.getpid()}"
             with open(tmp, "w") as f:

@@ -19,7 +19,9 @@ typedef struct {
     float *data;   /* rows*cols float32, row-major */
     long rows;
     long cols;
-    int err;       /* 0 ok; 1 io error; 2 ragged rows; 3 alloc failure */
+    int err;       /* 0 ok; 1 io error; 2 short rows (NaN-padded, matches
+                      pandas); 3 alloc failure; 4 long rows (extra fields —
+                      pandas raises ParserError; caller must not accept) */
 } CsvResult;
 
 static char *read_whole_file(const char *path, long *size_out) {
@@ -126,6 +128,10 @@ CsvResult *fastcsv_read(const char *path, int skip_header) {
         while (e < end && *e != '\n') ++e;
         char *le = (e > r && e[-1] == '\r') ? e - 1 : e;
         if (le > r) {
+            /* A row with MORE fields than the first data line must not be
+             * silently truncated: flag it so the wrapper rejects the parse
+             * (pandas raises "Expected N fields, saw M" for these). */
+            if (count_fields(r, le) > cols) res->err = 4;
             long col = 0;
             char *fptr = r;
             while (col < cols) {
@@ -149,9 +155,10 @@ CsvResult *fastcsv_read(const char *path, int skip_header) {
                 ++col;
                 fptr = (fend < le) ? fend + 1 : le;
                 if (fptr >= le && col < cols) {
-                    /* short row: pad with NaN but flag raggedness */
+                    /* short row: pad with NaN but flag raggedness (never
+                     * downgrade a fatal long-row flag from another row) */
                     while (col < cols) data[row * cols + col++] = NAN;
-                    res->err = 2;
+                    if (res->err != 4) res->err = 2;
                 }
             }
             ++row;

@@ -163,7 +163,15 @@ def main(argv=None):
 
     # The reference passes the (1-D) labels straight through get_embeddings,
     # where they act as *source* labels in the forward (scripts/utils.py:79).
-    source = jnp.asarray(np.asarray(labels, dtype=np.int64) % num_sources, jnp.int32)
+    lab_arr = np.asarray(labels)
+    try:
+        lab_codes = lab_arr.astype(np.int64)
+    except (ValueError, TypeError):
+        # Non-integer labels (quirk Q12: the reference assumes integer codes
+        # and would crash here too); encode to stable integer codes so the
+        # source-conditioning pass-through still works.
+        lab_codes = registry.LabelEncoder.fit(lab_arr).transform(lab_arr)
+    source = jnp.asarray(lab_codes % num_sources, jnp.int32)
 
     print("Extracting embeddings...")
     if joint_mode:
@@ -228,16 +236,24 @@ def main(argv=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    def project_2d(embeddings):
-        if have_umap:
-            return umap.UMAP(random_state=42).fit_transform(embeddings), "UMAP"
-        x = np.asarray(embeddings, np.float64)
-        x = x - x.mean(axis=0)
-        _, _, vt = np.linalg.svd(x, full_matrices=False)
-        return x @ vt[:2].T, "PCA"
+    _proj_cache = {}  # kind -> (points, method): a UMAP fit costs minutes at
+    # scale, and the comparison figure reuses the per-kind projections.
 
-    def create_plot(embeddings, labels, title, output_path):
-        u, method = project_2d(embeddings)
+    def project_2d(embeddings, kind):
+        if kind in _proj_cache:
+            return _proj_cache[kind]
+        if have_umap:
+            out = umap.UMAP(random_state=42).fit_transform(embeddings), "UMAP"
+        else:
+            x = np.asarray(embeddings, np.float64)
+            x = x - x.mean(axis=0)
+            _, _, vt = np.linalg.svd(x, full_matrices=False)
+            out = x @ vt[:2].T, "PCA"
+        _proj_cache[kind] = out
+        return out
+
+    def create_plot(embeddings, labels, title, output_path, kind):
+        u, method = project_2d(embeddings, kind)
         plt.figure(figsize=(10, 8))
         if len(np.unique(labels)) > 1:
             sc = plt.scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
@@ -254,7 +270,8 @@ def main(argv=None):
     print("Generating 2-D visualizations...")
     for kind, arr in kinds:
         out_path = os.path.join(args.output_dir, f"{args.dataset}_{kind}_umap.png")
-        create_plot(arr, labels, f"{args.dataset} {kind} embeddings", out_path)
+        # color by the integer label CODES: matplotlib's c= rejects strings
+        create_plot(arr, lab_codes, f"{args.dataset} {kind} embeddings", out_path, kind)
         print(f"Saved {kind} visualization to {out_path}")
 
     # 3-panel modality comparison (reference: inference…py:195-220); pointless
@@ -264,8 +281,8 @@ def main(argv=None):
         fig, axs = plt.subplots(1, len(kinds), figsize=(6 * len(kinds), 6), squeeze=False)
         axs = axs[0]
         for idx, (kind, arr) in enumerate(kinds):
-            u, method = project_2d(arr)
-            sc = axs[idx].scatter(u[:, 0], u[:, 1], c=labels, cmap="tab10", alpha=0.7, s=10)
+            u, method = project_2d(arr, kind)
+            sc = axs[idx].scatter(u[:, 0], u[:, 1], c=lab_codes, cmap="tab10", alpha=0.7, s=10)
             axs[idx].set_title(f"{kind} embeddings")
             axs[idx].set_xlabel(f"{method} 1")
             axs[idx].set_ylabel(f"{method} 2")

@@ -102,16 +102,30 @@ def main(argv=None):
     print(f"{args.dataset}: {len(labels)} rows, {num_classes} classes "
           f"(smallest {smallest}), {len(folds)} folds")
 
+    # Resolve the dataset's source ID the way training did: registry.json
+    # pins + directory discovery (a custom dataset trained via
+    # --discover-datasets has a persisted ID there; embedding it with a
+    # default of 0 would condition on the wrong source and skew every
+    # reported accuracy).
+    registry.discover_datasets(args.data_root)
     src_id = registry.DATASET_SOURCE_IDS.get(args.dataset, 0)
-    source = jnp.full((len(labels),), src_id, jnp.int32)
+
     kinds = {}
     if args.joint_checkpoint is not None:
         p, s, cfg = hexport.load_model_from_ckpt(args.joint_checkpoint, multimodal=True)
-        kinds["joint"] = np.asarray(
-            emb_mod.embed_multimodal(p, s, wave, isi_p, source))
     else:
         pw, sw, cfg = hexport.load_model_from_ckpt(args.wave_checkpoint, multimodal=False)
         pt, st, _ = hexport.load_model_from_ckpt(args.time_checkpoint, multimodal=False)
+    if src_id >= cfg.num_sources:
+        print(f"WARNING: source id {src_id} for {args.dataset} exceeds the "
+              f"model's source-embedding table ({cfg.num_sources}); using "
+              f"{src_id % cfg.num_sources} (the inference CLI's convention)")
+        src_id %= cfg.num_sources
+    source = jnp.full((len(labels),), src_id, jnp.int32)
+    if args.joint_checkpoint is not None:
+        kinds["joint"] = np.asarray(
+            emb_mod.embed_multimodal(p, s, wave, isi_p, source))
+    else:
         kinds["waveform"] = np.asarray(emb_mod.embed_unimodal(pw, sw, wave, source))
         kinds["isi"] = np.asarray(emb_mod.embed_unimodal(pt, st, isi_p, source))
         kinds["joint"] = np.hstack([kinds["waveform"], kinds["isi"]])

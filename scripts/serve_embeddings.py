@@ -129,6 +129,10 @@ class EmbeddingService:
         self.mode = "joint" if (joint_ckpt or joint_artifact) else "dual"
 
         self._embed_fns = {}
+        # Size of the models' source-embedding table: requests with an
+        # out-of-range source would silently clamp inside the XLA gather and
+        # return wrong embeddings with a 200; the handler rejects them.
+        self.num_sources: int = num_sources
         if self.mode == "joint":
             if joint_artifact is not None:
                 call, manifest = hexport.load_artifact(joint_artifact)
@@ -138,10 +142,12 @@ class EmbeddingService:
                         f"export (modality={manifest.get('modality')!r})"
                     )
                 self.z_dim = int(manifest.get("z_dim", self.z_dim))
+                self.num_sources = int(manifest.get("num_sources", num_sources))
                 self._embed_fns["joint"] = self._bucketed_artifact_call(call)
             else:
                 params, bn, cfg = hexport.load_model_from_ckpt(joint_ckpt, multimodal=True)
                 self.z_dim = cfg.z_dim
+                self.num_sources = cfg.num_sources
 
                 def _joint_embed(wave, isi, src, params=params, bn=bn):
                     from hippie_tpu.evaluate import embeddings as emb
@@ -161,7 +167,23 @@ class EmbeddingService:
             ):
                 if artifact is not None:
                     call, manifest = hexport.load_artifact(artifact)
+                    if manifest.get("modality") not in (None, "unimodal"):
+                        raise ValueError(
+                            f"--{name}-artifact {artifact} is not a unimodal "
+                            f"export (modality={manifest.get('modality')!r}); "
+                            f"serve multimodal artifacts with --joint-artifact"
+                        )
+                    want_len = 50 if name == "wave" else 100
+                    got_len = manifest.get("input_len")
+                    if got_len is not None and int(got_len) != want_len:
+                        raise ValueError(
+                            f"--{name}-artifact {artifact} expects input "
+                            f"length {got_len}, but the {name} slot feeds "
+                            f"resampled length {want_len} — wrong modality's "
+                            f"artifact?"
+                        )
                     self.z_dim = int(manifest.get("z_dim", self.z_dim))
+                    self.num_sources = int(manifest.get("num_sources", num_sources))
                     self._embed_fns[name] = self._bucketed_artifact_call(call)
                 elif ckpt is not None:
                     out_size = 50 if name == "wave" else 100
@@ -173,6 +195,7 @@ class EmbeddingService:
                         ckpt, multimodal=False, fallback_config=fallback
                     )
                     self.z_dim = cfg.z_dim
+                    self.num_sources = cfg.num_sources
 
                     def _lib_embed(data, src, params=params, bn=bn):
                         from hippie_tpu.evaluate import embeddings as emb
@@ -286,8 +309,12 @@ class EmbeddingService:
             src_p[off:off + c] = int(it.source)
             off += c
         normalize = items[0].normalize
-        wave = preprocess.preprocess_waveforms(jnp.asarray(wf_p), normalize=normalize)
-        isi = preprocess.preprocess_isi(jnp.asarray(isi_p), normalize=normalize)
+        # preprocess_pair is the JITTED entry (ONE dispatch); the per-op
+        # functions would run eagerly — multiple ~65 ms round trips per
+        # request on the remote-attached chip.
+        wave, isi = preprocess.preprocess_pair(
+            jnp.asarray(wf_p), jnp.asarray(isi_p), normalize=normalize
+        )
         src = jnp.asarray(src_p)
         if self.mode == "joint":
             j = np.asarray(jax.device_get(self._embed_fns["joint"](wave, isi, src)))
@@ -377,7 +404,8 @@ def make_handler(service: EmbeddingService):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok", "z_dim": service.z_dim,
-                                  "mode": service.mode})
+                                  "mode": service.mode,
+                                  "num_sources": service.num_sources})
             elif self.path == "/stats":
                 self._reply(200, service.stats())
             else:
@@ -398,11 +426,23 @@ def make_handler(service: EmbeddingService):
                         f"got {wf.shape} and {isi.shape}"
                     )
                 source = int(payload.get("source", 0))
+                if not 0 <= source < service.num_sources:
+                    raise ValueError(
+                        f"source {source} out of range for this model "
+                        f"(num_sources={service.num_sources})"
+                    )
                 normalize = bool(payload.get("normalize", False))
             except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
                 return
-            w, i, j, dt = service.embed(wf, isi, source, normalize)
+            try:
+                w, i, j, dt = service.embed(wf, isi, source, normalize)
+            except BaseException as e:
+                # A worker-side failure (device error, bad row widths at
+                # preprocess) must surface as a JSON 500, not a dropped
+                # socket with a server-side traceback.
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             out = {"joint": np.asarray(j).tolist(), "latency_ms": round(dt * 1000, 3)}
             if w is not None:
                 out["waveform"] = np.asarray(w).tolist()

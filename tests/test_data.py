@@ -247,6 +247,20 @@ def test_register_and_discover_custom_datasets(tmp_path):
         with pytest.raises(ValueError):
             registry.register_dataset("zz-custom-b", source_id=3)  # conflict
         assert registry.register_dataset("zz-custom-b") == 9  # no-op re-reg
+
+        # A pin whose directory is ABSENT still reserves its ID: a fresh
+        # unpinned dataset must not be assigned the same source id (the two
+        # would silently share one source embedding).
+        registry.DATASET_SOURCE_IDS.clear()
+        registry.DATASET_SOURCE_IDS.update(saved_ids)
+        registry.NUM_SOURCES = saved_n
+        (tmp_path / "registry.json").write_text(
+            json.dumps({"absent-elsewhere": 12}))
+        new = registry.discover_datasets(root)
+        assert "absent-elsewhere" in new
+        assert registry.DATASET_SOURCE_IDS["absent-elsewhere"] == 12
+        assert registry.DATASET_SOURCE_IDS["aa-custom-a"] == 13  # not 12
+        assert registry.NUM_SOURCES == 16  # aa/ab/zz assigned 13/14/15
     finally:
         registry.DATASET_SOURCE_IDS.clear()
         registry.DATASET_SOURCE_IDS.update(saved_ids)

@@ -63,3 +63,30 @@ def test_faster_than_pandas():
         pd.read_csv(path).to_numpy(dtype=np.float32)
     t_pandas = time.perf_counter() - t0
     assert t_native < t_pandas, (t_native, t_pandas)
+
+
+def test_long_rows_are_not_silently_truncated(tmp_path):
+    """A row with MORE fields than the first data line must not be truncated
+    with a clean parse: pandas raises ParserError for these, so the native
+    path flags err=4 and read_numeric_csv falls through to pandas (which
+    raises loudly) instead of training on corrupt data."""
+    p = tmp_path / "long.csv"
+    p.write_text("h0,h1,h2\n1,2,3\n4,5,6,7\n8,9,10\n")
+    with pytest.raises(Exception):  # pandas ParserError via the fallback
+        fastcsv.read_numeric_csv(str(p))
+
+
+def test_skip_header_false_in_both_paths(tmp_path):
+    """skip_header=False must keep the first row as data in the native AND
+    the pandas-fallback path (the fallback used to always consume a header)."""
+    p = tmp_path / "nohdr.csv"
+    p.write_text("1,2\n3,4\n")
+    want = np.array([[1, 2], [3, 4]], np.float32)
+    np.testing.assert_array_equal(fastcsv.read_numeric_csv(str(p), skip_header=False), want)
+    saved_lib, saved_tried = fastcsv._lib, fastcsv._tried
+    try:
+        fastcsv._lib, fastcsv._tried = None, True  # force the pandas fallback
+        np.testing.assert_array_equal(
+            fastcsv.read_numeric_csv(str(p), skip_header=False), want)
+    finally:
+        fastcsv._lib, fastcsv._tried = saved_lib, saved_tried

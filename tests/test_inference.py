@@ -89,3 +89,27 @@ def test_inference_cli_joint_checkpoint_and_clustering(dataset_root, tmp_path, c
     clusters = pd.read_csv(out / "tiny-rig_joint_clusters.csv")
     assert set(clusters["cluster"].unique()) <= {0, 1}
     assert len(clusters) == 24
+
+
+def test_inference_cli_string_labels(tmp_path, capsys):
+    """metadata.csv with STRING labels (quirk Q12: the reference assumes
+    integer codes and crashes computing the source pass-through); our CLI
+    must encode them and export label_name from the strings."""
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "str-rig", n=12, seed=3)
+    names = ["pyramidal", "interneuron", "granule"]
+    pd.DataFrame({"label": [names[i % 3] for i in range(12)]}).to_csv(
+        root / "str-rig" / "metadata.csv", index=False)
+    wave = _ckpt(tmp_path, "wave_s", 50, 4)
+    time = _ckpt(tmp_path, "time_s", 100, 5)
+    out = tmp_path / "out_s"
+    _load_cli().main([
+        "--dataset", "str-rig", "--data-root", str(root),
+        "--wave-checkpoint", str(wave), "--time-checkpoint", str(time),
+        "--output-dir", str(out),
+    ])
+    stdout = capsys.readouterr().out
+    assert "3 unique labels" in stdout
+    df = pd.read_csv(out / "str-rig_joint_embeddings.csv")
+    assert set(df["label_name"].unique()) == set(names)
+    assert df.shape == (12, 2 * Z + 2)

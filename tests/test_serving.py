@@ -85,6 +85,35 @@ def test_embed_bad_requests(server):
     assert status == 400
     status, payload = _request(addr, "GET", "/nope")
     assert status == 404
+    # out-of-range source: the XLA gather would silently clamp to the last
+    # source-embedding row and return wrong embeddings with a 200
+    status, payload = _request(addr, "POST", "/embed",
+                               {"waveforms": [[1, 2]], "isi_dists": [[1, 2]],
+                                "source": 999})
+    assert status == 400 and "source" in payload["error"]
+
+
+def test_worker_error_surfaces_as_500(server):
+    """A failure inside the dispatch worker must come back as a JSON 500,
+    not a dropped socket."""
+    addr, service = server
+    saved = dict(service._embed_fns)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected device failure")
+
+    try:
+        service._embed_fns = {k: boom for k in saved}
+        status, payload = _request(addr, "POST", "/embed",
+                                   {"waveforms": [[1.0, 2.0]],
+                                    "isi_dists": [[1.0, 2.0]]})
+        assert status == 500 and "injected device failure" in payload["error"]
+    finally:
+        service._embed_fns = saved
+    # the service still works afterwards
+    status, payload = _request(addr, "POST", "/embed",
+                               {"waveforms": [[1.0, 2.0]], "isi_dists": [[1.0, 2.0]]})
+    assert status == 200
 
 
 def test_service_from_artifacts(tmp_path):
