@@ -221,19 +221,10 @@ def export_from_checkpoint(
     needed (unlike the reference's inference CLI, whose z_dim default of 64
     silently disagrees with the training default, quirk Q12).
     """
-    from hippie_tpu.train import checkpoint as ckpt_mod
-
-    loaded = ckpt_mod.load_lightning_ckpt(ckpt_path)
-    sd = loaded["state_dict"]
-    multimodal = any(k.startswith("model.encoder_mod1.") for k in sd)
-    # jitted inits: ONE compiled dispatch instead of hundreds of eager ops
-    # (each pays a ~65 ms round trip on remote backends; cf. pipeline._init_*)
-    if multimodal:
-        cfg_m = infer_multimodal_config(sd)
-        template = jax.jit(cvae.multimodal_cvae_init, static_argnums=1)(
-            jax.random.PRNGKey(0), cfg_m
-        )
-        params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
+    # One shared loading policy (geometry inference, jitted template init,
+    # state_dict graft, descriptive errors): load_model_from_ckpt.
+    params, bn, cfg_m = load_model_from_ckpt(ckpt_path)
+    if isinstance(cfg_m, cvae.MultiModalConfig):
         blob = export_embedder(
             params, bn,
             input_lens=(cfg_m.output_size_wave, cfg_m.output_size_isi),
@@ -242,11 +233,6 @@ def export_from_checkpoint(
         geometry = {"modality": "multimodal",
                     "input_lens": [cfg_m.output_size_wave, cfg_m.output_size_isi]}
     else:
-        cfg_m = infer_unimodal_config(sd)
-        template = jax.jit(cvae.unimodal_cvae_init, static_argnums=1)(
-            jax.random.PRNGKey(0), cfg_m
-        )
-        params, bn, _, _ = ckpt_mod.from_torch_state_dict(sd, template[0], template[1])
         blob = export_embedder(
             params, bn, input_len=cfg_m.output_size, platforms=platforms,
             precision=precision,

@@ -290,6 +290,23 @@ def device_fit(
             else jnp.zeros((0,), jnp.float32))
     patience = early_stopping_patience if early_stopping_patience is not None else 2**31 - 2
 
+    if (start_epoch > 0 and early_stopping_patience is not None
+            and wait0 >= early_stopping_patience):
+        # The restored counters say this stage already early-stopped; running
+        # even one more epoch would diverge from the uninterrupted trajectory
+        # (and keep extending on every restart). Return the completed result.
+        if verbose:
+            print(f"Early stopping already triggered at epoch {start_epoch - 1}; "
+                  "nothing to resume")
+        bp, bb, bo = (best0 if best0 is not None
+                      else (ts.params, ts.bn_state, ts.opt_state))
+        return FitResult(
+            state=ts, best_params=bp, best_bn_state=bb,
+            best_val_loss=best_val0, best_epoch=best_epoch0,
+            epochs_run=start_epoch, best_opt_state=bo,
+            train_losses=[], val_losses=[],
+        )
+
     fit = _build_fit(
         batch_step, eval_step,
         use_class_labels=use_class_labels, shuffle=shuffle,

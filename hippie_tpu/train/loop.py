@@ -117,6 +117,16 @@ def fit(
             if verbose:
                 print(f"Resumed from {resume_dir} at epoch {start_epoch}")
 
+    if (start_epoch > 0 and early_stopping_patience is not None
+            and wait >= early_stopping_patience):
+        # The restored state says this stage already early-stopped: running
+        # even one more epoch would diverge from the uninterrupted trajectory
+        # (and keep extending on every restart). Return the completed result.
+        if verbose:
+            print(f"Early stopping already triggered at epoch {start_epoch - 1}; "
+                  "nothing to resume")
+        max_epochs = start_epoch
+
     epochs_run = start_epoch
     for epoch in range(start_epoch, max_epochs):
         tkey = jax.random.fold_in(jax.random.fold_in(root, 2 * epoch), 1)

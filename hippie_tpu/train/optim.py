@@ -253,7 +253,7 @@ def find_schedule_free_state(opt_state):
     found = []
 
     def visit(node):
-        if hasattr(node, "z") and hasattr(node, "weight_sum") and hasattr(node, "exp_avg_sq"):
+        if _is_sf_state(node):
             found.append(node)
             return
         if hasattr(node, "inner_state"):  # InjectHyperparamsState

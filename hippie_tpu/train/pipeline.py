@@ -459,35 +459,43 @@ def _finalize_fit(cfg: PipelineConfig, result: loop.FitResult) -> loop.FitResult
     )
 
 
-def _fit_unimodal_stage(
+def _fit_stage(
     *,
     cfg: PipelineConfig,
     ts: step.TrainState,
-    tx,
-    data: jnp.ndarray,
+    arrays: Tuple[jnp.ndarray, ...],
     source: jnp.ndarray,
     class_: jnp.ndarray,
     train_indices: np.ndarray,
     val_indices: np.ndarray,
     batch_size: int,
     max_epochs: int,
-    beta: float,
     use_class_labels: bool,
     shuffle_train: bool,
+    make_steps,
+    make_epoch_fns,
+    aot_desc: str,
     fixed_train_stream: Optional[np.ndarray] = None,
     stage_seed: int = 0,
     resume_dir: Optional[str] = None,
     lr: Optional[float] = None,
-    aot_extra: str = "",
 ) -> loop.FitResult:
-    """One Trainer.fit equivalent for a unimodal model."""
-    # Shape-bucket the gather sources and batch plans (power-of-two rows /
-    # plan lengths) and run the bucketed epoch mode: with the learning rate
-    # injected as optimizer state, stages and datasets that land in the same
-    # buckets share ONE compiled program via the persistent compile cache —
-    # the main lever on cold-compile wall-clock.
-    n_bucket = device_data.next_pow2(int(data.shape[0]))
-    data = device_data.pad_rows(data, n_bucket)
+    """One Trainer.fit equivalent, shared by both model families.
+
+    ``arrays`` is the tuple of per-sample gather sources ((data,) unimodal,
+    (wave, isi) multimodal); the family enters only via ``make_steps`` /
+    ``make_epoch_fns`` closures. Everything else — bucketing, dp placement,
+    the val plan, and device/host loop selection — must stay IDENTICAL
+    between families (the device/host trajectory-parity contract).
+
+    Shape-buckets the gather sources and batch plans (power-of-two rows /
+    plan lengths) and runs the bucketed epoch mode: with the learning rate
+    injected as optimizer state, stages and datasets that land in the same
+    buckets share ONE compiled program via the persistent compile cache —
+    the main lever on cold-compile wall-clock.
+    """
+    n_bucket = device_data.next_pow2(int(arrays[0].shape[0]))
+    arrays = tuple(device_data.pad_rows(a, n_bucket) for a in arrays)
     source = device_data.pad_rows(source, n_bucket)
     class_ = device_data.pad_rows(class_, n_bucket)
 
@@ -496,7 +504,8 @@ def _fit_unimodal_stage(
         # data parallelism: dataset replicated, plans batch-sharded; GSPMD
         # inserts the gradient all-reduce over the 'data' mesh axis. The
         # TrainState is replicated (dp) or per-leaf sharded (--fsdp).
-        data, source, class_ = (jax.device_put(a, repl) for a in (data, source, class_))
+        arrays = tuple(jax.device_put(a, repl) for a in arrays)
+        source, class_ = (jax.device_put(a, repl) for a in (source, class_))
         ts = _place_train_state(cfg, mesh, repl, ts)
 
     def _plan_arrays(idx, mask):
@@ -523,13 +532,11 @@ def _fit_unimodal_stage(
         # them (same on-disk format as the host loop).
         from hippie_tpu.train import device_fit as dfit
 
-        batch_step, eval_step = step.make_unimodal_steps(
-            tx, beta=beta, loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
-        )
+        batch_step, eval_step = make_steps()
         return _finalize_fit(cfg, dfit.device_fit(
             ts,
             batch_step=batch_step, eval_step=eval_step,
-            arrays=(data,), source=source, class_=class_,
+            arrays=arrays, source=source, class_=class_,
             train_stream=np.asarray(stream), batch_size=batch_size,
             val_idx=val_idx, val_mask=val_mask, val_nb=val_nb,
             max_epochs=max_epochs,
@@ -540,7 +547,7 @@ def _fit_unimodal_stage(
             plan_sharding=plan_sharding,
             eval_params_fn=_eval_params_fn(cfg),
             aot_dir=cfg.aot_dir,
-            aot_desc=f"uni|beta={beta}|{_aot_cfg_desc(cfg)}|{aot_extra}",
+            aot_desc=aot_desc,
             log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
             progress_every=_progress_chunk(cfg, max_epochs),
             log_steps=cfg.log_every_step,
@@ -549,10 +556,7 @@ def _fit_unimodal_stage(
 
     # Host-loop path only (--fit-loop host): per-epoch jitted
     # runners driven from Python.
-    train_epoch, eval_epoch = step.make_unimodal_epoch_fns(
-        tx, beta=beta, use_class_labels=use_class_labels,
-        loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
-    )
+    train_epoch, eval_epoch = make_epoch_fns()
 
     def run_train(state, key, epoch):
         # Same canonical bucketed plan as device_fit generates in-device, so
@@ -563,7 +567,7 @@ def _fit_unimodal_stage(
         )
         idx, mask = _plan_arrays(idx, mask)
         return train_epoch(
-            state, data, source, class_, idx, mask,
+            state, *arrays, source, class_, idx, mask,
             jax.random.fold_in(key, 1), jnp.asarray(nb, jnp.int32),
         )
 
@@ -571,7 +575,7 @@ def _fit_unimodal_stage(
         vp = (optim.eval_params_jit(state.opt_state, state.params)
               if cfg.optimizer == "schedule-free" else state.params)
         return eval_epoch(
-            vp, state.bn_state, data, source, class_, val_idx, val_mask,
+            vp, state.bn_state, *arrays, source, class_, val_idx, val_mask,
             key, val_nb,
         )
 
@@ -587,6 +591,47 @@ def _fit_unimodal_stage(
         resume_dir=resume_dir,
         lr=lr,
     ))
+
+
+def _fit_unimodal_stage(
+    *,
+    cfg: PipelineConfig,
+    ts: step.TrainState,
+    tx,
+    data: jnp.ndarray,
+    source: jnp.ndarray,
+    class_: jnp.ndarray,
+    train_indices: np.ndarray,
+    val_indices: np.ndarray,
+    batch_size: int,
+    max_epochs: int,
+    beta: float,
+    use_class_labels: bool,
+    shuffle_train: bool,
+    fixed_train_stream: Optional[np.ndarray] = None,
+    stage_seed: int = 0,
+    resume_dir: Optional[str] = None,
+    lr: Optional[float] = None,
+    aot_extra: str = "",
+) -> loop.FitResult:
+    """One Trainer.fit equivalent for a unimodal model."""
+    return _fit_stage(
+        cfg=cfg, ts=ts, arrays=(data,), source=source, class_=class_,
+        train_indices=train_indices, val_indices=val_indices,
+        batch_size=batch_size, max_epochs=max_epochs,
+        use_class_labels=use_class_labels, shuffle_train=shuffle_train,
+        make_steps=lambda: step.make_unimodal_steps(
+            tx, beta=beta, loss_backend=cfg.loss_backend,
+            block_backend=cfg.block_backend,
+        ),
+        make_epoch_fns=lambda: step.make_unimodal_epoch_fns(
+            tx, beta=beta, use_class_labels=use_class_labels,
+            loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
+        ),
+        aot_desc=f"uni|beta={beta}|{_aot_cfg_desc(cfg)}|{aot_extra}",
+        fixed_train_stream=fixed_train_stream, stage_seed=stage_seed,
+        resume_dir=resume_dir, lr=lr,
+    )
 
 
 def _fit_multimodal_stage(
@@ -610,111 +655,27 @@ def _fit_multimodal_stage(
     lr: Optional[float] = None,
     aot_extra: str = "",
 ) -> loop.FitResult:
-    # shape bucketing + optional data parallelism: see _fit_unimodal_stage
-    n_bucket = device_data.next_pow2(int(wave.shape[0]))
-    wave = device_data.pad_rows(wave, n_bucket)
-    isi = device_data.pad_rows(isi, n_bucket)
-    source = device_data.pad_rows(source, n_bucket)
-    class_ = device_data.pad_rows(class_, n_bucket)
-
-    mesh, repl, plan_sharding = _dp_shardings(cfg)
-    if repl is not None:
-        wave, isi, source, class_ = (
-            jax.device_put(a, repl) for a in (wave, isi, source, class_)
-        )
-        ts = _place_train_state(cfg, mesh, repl, ts)
-
-    def _plan_arrays(idx, mask):
-        idx, mask = jnp.asarray(idx), jnp.asarray(mask)
-        if plan_sharding is not None:
-            idx = jax.device_put(idx, plan_sharding)
-            mask = jax.device_put(mask, plan_sharding)
-        return idx, mask
-
-    val_plan = loop.limit_batches(
-        batch_plan(val_indices, batch_size, shuffle=False), cfg.limit_val_batches
-    )
-    v_idx, v_mask, v_nb = device_data.pad_plan(
-        val_plan[0], val_plan[1], device_data.next_pow2(val_plan[0].shape[0], minimum=1)
-    )
-    val_idx, val_mask = _plan_arrays(v_idx, v_mask)
-    val_nb = jnp.asarray(v_nb, jnp.int32)
-
-    stream = fixed_train_stream if fixed_train_stream is not None else train_indices
-
-    if cfg.fit_loop == "device":
-        from hippie_tpu.train import device_fit as dfit
-
-        batch_step, eval_step = step.make_multimodal_steps(
-            tx, beta=cfg.beta, mod1_weight=cfg.mod1_weight, mod2_weight=cfg.mod2_weight,
+    """One Trainer.fit equivalent for the joint model (shared _fit_stage)."""
+    return _fit_stage(
+        cfg=cfg, ts=ts, arrays=(wave, isi), source=source, class_=class_,
+        train_indices=train_indices, val_indices=val_indices,
+        batch_size=batch_size, max_epochs=max_epochs,
+        use_class_labels=use_class_labels, shuffle_train=shuffle_train,
+        make_steps=lambda: step.make_multimodal_steps(
+            tx, beta=cfg.beta, mod1_weight=cfg.mod1_weight,
+            mod2_weight=cfg.mod2_weight,
             loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
-        )
-        return _finalize_fit(cfg, dfit.device_fit(
-            ts,
-            batch_step=batch_step, eval_step=eval_step,
-            arrays=(wave, isi), source=source, class_=class_,
-            train_stream=np.asarray(stream), batch_size=batch_size,
-            val_idx=val_idx, val_mask=val_mask, val_nb=val_nb,
-            max_epochs=max_epochs,
-            early_stopping_patience=cfg.early_stopping_patience,
-            seed=cfg.seed + stage_seed,
-            use_class_labels=use_class_labels, shuffle=shuffle_train,
-            limit_train_batches=cfg.limit_train_batches,
-            plan_sharding=plan_sharding,
-            eval_params_fn=_eval_params_fn(cfg),
-            aot_dir=cfg.aot_dir,
-            aot_desc=(f"mm|beta={cfg.beta}|w={cfg.mod1_weight},{cfg.mod2_weight}|"
-                      f"{_aot_cfg_desc(cfg)}|{aot_extra}"),
-            log_fn=cfg.log_fn, verbose=cfg.verbose, lr=lr,
-            progress_every=_progress_chunk(cfg, max_epochs),
-            log_steps=cfg.log_every_step,
-            resume_dir=resume_dir,
-        ))
-
-    # Host-loop path only (--fit-loop host).
-    train_epoch, eval_epoch = step.make_multimodal_epoch_fns(
-        tx,
-        beta=cfg.beta,
-        mod1_weight=cfg.mod1_weight,
-        mod2_weight=cfg.mod2_weight,
-        use_class_labels=use_class_labels,
-        loss_backend=cfg.loss_backend,
-        block_backend=cfg.block_backend,
+        ),
+        make_epoch_fns=lambda: step.make_multimodal_epoch_fns(
+            tx, beta=cfg.beta, mod1_weight=cfg.mod1_weight,
+            mod2_weight=cfg.mod2_weight, use_class_labels=use_class_labels,
+            loss_backend=cfg.loss_backend, block_backend=cfg.block_backend,
+        ),
+        aot_desc=(f"mm|beta={cfg.beta}|w={cfg.mod1_weight},{cfg.mod2_weight}|"
+                  f"{_aot_cfg_desc(cfg)}|{aot_extra}"),
+        fixed_train_stream=fixed_train_stream, stage_seed=stage_seed,
+        resume_dir=resume_dir, lr=lr,
     )
-
-    def run_train(state, key, epoch):
-        # Same canonical bucketed plan as device_fit generates in-device, so
-        # --fit-loop host stays on the identical trajectory.
-        idx, mask, nb = device_data.host_epoch_plan(
-            stream, batch_size, shuffle_train, jax.random.fold_in(key, 0),
-            cfg.limit_train_batches,
-        )
-        idx, mask = _plan_arrays(idx, mask)
-        return train_epoch(
-            state, wave, isi, source, class_, idx, mask,
-            jax.random.fold_in(key, 1), jnp.asarray(nb, jnp.int32),
-        )
-
-    def run_val(state, key, epoch):
-        vp = (optim.eval_params_jit(state.opt_state, state.params)
-              if cfg.optimizer == "schedule-free" else state.params)
-        return eval_epoch(
-            vp, state.bn_state, wave, isi, source, class_, val_idx, val_mask,
-            key, val_nb,
-        )
-
-    return _finalize_fit(cfg, loop.fit(
-        ts,
-        run_train_epoch=run_train,
-        run_val_epoch=run_val,
-        max_epochs=max_epochs,
-        early_stopping_patience=cfg.early_stopping_patience,
-        seed=cfg.seed + stage_seed,
-        verbose=cfg.verbose,
-        log_fn=cfg.log_fn,
-        resume_dir=resume_dir,
-        lr=lr,
-    ))
 
 
 def _finetune_split_indices(cfg: PipelineConfig, n: int, key) -> Tuple[np.ndarray, np.ndarray]:
@@ -958,6 +919,9 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     sup_states: Dict[str, step.TrainState] = {}
     sup_trackers: Dict[str, BestTracker] = {}
+    # One balanced stream serves both modalities (fixed seed, same labels).
+    stream = sampling.balanced_indices(label_train, seed=cfg.seed)
+    train_stream = np.asarray(s_tr)[stream]
     for mi, modality in enumerate(("wave", "time")):
         out_size = 50 if modality == "wave" else 100
         data = sup_wave if modality == "wave" else sup_isi_p
@@ -983,8 +947,6 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         # Stage-1/2 trackers are final now: overlap their ckpt writes with the
         # supervised fits instead of serializing ~15-60 s of host I/O here.
         trackers[modality].flush_async()
-        stream = sampling.balanced_indices(label_train, seed=cfg.seed)
-        train_stream = np.asarray(s_tr)[stream]
         tracker = BestTracker(
             os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model_supervised.ckpt")
         )
@@ -1172,8 +1134,13 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
             )
         tracker.update_from_fit(result, template, (ft_lr, cfg.weight_decay))
         # Multimodal stage 2 reloads the best ckpt and embeds the fine-tune
-        # TEST split (…multimodal.py:772-777).
-        state = step.TrainState(tracker.best_params, tracker.best_bn, None)
+        # TEST split (…multimodal.py:772-777). Same tracker-empty fallback as
+        # every sibling handoff (max_epochs=0 / all-NaN-val edge).
+        state = step.TrainState(
+            tracker.best_params if tracker.best_params is not None else result.state.params,
+            tracker.best_bn if tracker.best_bn is not None else result.state.bn_state,
+            None,
+        )
         emb_idx = jnp.asarray(ft_va)
     else:
         emb_idx = jnp.arange(len(target))

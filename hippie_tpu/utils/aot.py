@@ -155,6 +155,8 @@ def have_exec_serialization() -> bool:
 
 _EXEC_MEMO: dict = {}  # path -> loaded compiled callable (per process)
 
+_UNWRITABLE_WARNED: set = set()  # aot dirs already reported unusable
+
 _PRUNED_DIRS: set = set()
 
 
@@ -212,7 +214,19 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
     hashed from the values).
     """
     lower_kwargs = lower_kwargs or {}
-    os.makedirs(aot_dir, exist_ok=True)
+    try:
+        os.makedirs(aot_dir, exist_ok=True)
+    except OSError as e:
+        # The cache is a pure performance lever: an unwritable/full cache
+        # dir (read-only HOME with the default --aot-dir) must degrade to an
+        # uncached run, not abort a multi-hour pipeline.
+        if aot_dir not in _UNWRITABLE_WARNED:
+            _UNWRITABLE_WARNED.add(aot_dir)
+            import warnings
+
+            warnings.warn(f"AOT cache dir {aot_dir} is unusable ({e}); "
+                          "running uncached")
+        return fn(*args, **lower_kwargs)
     rev = source_revision()[:10]
     _prune_stale(aot_dir, rev)
     key = cache_key(args, static_desc)
@@ -273,9 +287,14 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
     if exported is None:
         exported = jexport.export(fn)(*args, **lower_kwargs)
         tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(exported.serialize())
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(exported.serialize())
+            os.replace(tmp, path)
+        except OSError:
+            # full/unwritable disk: still run the exported program this call
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     _EXEC_MEMO[path] = exported
     return exported.call(*args)
 

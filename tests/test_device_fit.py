@@ -348,6 +348,29 @@ def test_device_fit_resume_preserves_best_before_interrupt(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("fit_loop", ["device", "host"])
+def test_resume_of_early_stopped_stage_is_a_noop(tmp_path, fit_loop):
+    """Resuming a stage that already early-stopped must NOT train further:
+    the restored wait>=patience is re-checked BEFORE running (it used to be
+    re-evaluated only after a full extra epoch, so every restart of a
+    finished run extended the stage by at least one epoch and diverged the
+    trajectory)."""
+    rdir = str(tmp_path / f"resume_stop_{fit_loop}")
+    r1, _ = _tiny_stage(fit_loop, max_epochs=12, patience=2, resume_dir=rdir)
+    assert r1.epochs_run < 12, "scenario precondition: early stop fired"
+
+    r2, logs2 = _tiny_stage(fit_loop, max_epochs=12, patience=2, resume_dir=rdir)
+    assert r2.epochs_run == r1.epochs_run  # no additional epochs
+    assert r2.train_losses == [] and logs2 == []
+    assert r2.best_epoch == r1.best_epoch
+    assert r2.best_val_loss == r1.best_val_loss
+    for a, b in zip(
+        jax.tree_util.tree_leaves((r1.best_params, r1.best_bn_state)),
+        jax.tree_util.tree_leaves((r2.best_params, r2.best_bn_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_device_fit_resumes_host_loop_state(tmp_path):
     """The two fit loops share one resume format: a stage interrupted under
     --fit-loop host continues under the default device loop."""

@@ -246,6 +246,22 @@ def test_multimodal_pipeline_end_to_end(synth_root, tmp_path):
     assert cm.sum() == len(results["label_val"])
 
 
+def test_multimodal_pipeline_zero_epochs(synth_root, tmp_path):
+    """max_epochs=0 everywhere: every stage handoff must fall back to the
+    last (initial) state instead of a None tracker snapshot — the stage-2
+    multimodal handoff used to crash embedding with params=None."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _base_cfg(synth_root, tmp_path, model_type="multimodal"),
+        pretrain_max_epochs=0, finetune_max_epochs=0, supervised_max_epochs=0,
+    )
+    results = run_pipeline(cfg)
+    assert "joint" in results["best"]
+    assert os.path.exists(os.path.join(
+        cfg.output_dir, "cellexplorer-celltype_joint_embeddings.csv"))
+
+
 @pytest.mark.slow
 def test_pipeline_with_discovered_custom_dataset(tmp_path):
     """--discover-datasets: a custom dataset dir (not in the reference
