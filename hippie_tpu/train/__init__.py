@@ -1,1 +1,1 @@
-from hippie_tpu.train import checkpoint, device_fit, optim, step, loop, pipeline, orbax_io, schedule_free  # noqa: F401
+from hippie_tpu.train import checkpoint, device_fit, ensemble, optim, step, loop, pipeline, orbax_io, schedule_free  # noqa: F401

@@ -1,0 +1,145 @@
+"""Vmapped K-replica ensemble training (train/ensemble.py).
+
+Contract under test: replica k of an ensemble epoch is the SAME trajectory a
+single-model train_epoch produces when started from the same init and given
+the k-th per-replica key stream — vmap must change wall-clock, not math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hippie_tpu.data import device_data
+from hippie_tpu.models import cvae
+from hippie_tpu.train import ensemble, optim, step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    n = 40
+    data = jnp.asarray(rng.normal(size=(n, 50)).astype(np.float32))
+    source = jnp.zeros((n,), jnp.int32)
+    class_ = jnp.asarray(rng.integers(0, 3, size=n).astype(np.int32))
+    cfg = cvae.CVAEConfig(z_dim=4, output_size=50, num_classes=3, num_blocks=(1, 1, 1, 1))
+    idx, mask = device_data.batch_plan(np.arange(n), 16, shuffle=False)
+    idx, mask = jnp.asarray(idx), jnp.asarray(mask)
+    return data, source, class_, cfg, idx, mask
+
+
+def _init(cfg, tx, k, seed=1):
+    return ensemble.init_unimodal_ensemble(jax.random.PRNGKey(seed), cfg, tx, k)
+
+
+def test_replica_matches_single_model_run(setup):
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    ts = _init(cfg, tx, K)
+    e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=1.0)
+    s_train, s_eval = step.make_unimodal_epoch_fns(tx, beta=1.0)
+
+    root = jax.random.PRNGKey(11)
+    rkeys = jax.random.split(root, K)
+
+    # Single-model runs seeded from the SAME stacked init (replica k).
+    singles = []
+    for k in range(K):
+        ts_k = step.TrainState(
+            ensemble.take_replica(ts.params, k),
+            ensemble.take_replica(ts.bn_state, k),
+            ensemble.take_replica(ts.opt_state, k),
+        )
+        ts_k, tms_k = s_train(ts_k, data, source, class_, idx, mask, rkeys[k])
+        vms_k = s_eval(ts_k.params, ts_k.bn_state, data, source, class_, idx, mask, rkeys[k])
+        singles.append((ts_k, tms_k, vms_k))
+
+    ts2, tms = e_train(ts, data, source, class_, idx, mask, root)
+    vms = e_eval(ts2.params, ts2.bn_state, data, source, class_, idx, mask, root)
+
+    for k in range(K):
+        ts_k, tms_k, vms_k = singles[k]
+        # First batch runs on identical params with the identical key — the
+        # vmapped forward+loss is bit-equivalent to the single model's
+        # (verified exact on this config; tolerance only guards fusion drift).
+        np.testing.assert_allclose(
+            float(np.asarray(tms.loss)[0, k]), float(np.asarray(tms_k.loss)[0]),
+            rtol=1e-6)
+        # Later batches: vmap changes fp32 reduction order in the backward,
+        # and first-step Adam turns noise-level gradients (conv biases feeding
+        # BN have mathematically zero grads) into O(lr) sign flips — same
+        # noise class tests/test_train_step.py excludes vs torch. Trajectories
+        # stay equivalent, not bit-equal.
+        np.testing.assert_allclose(
+            np.asarray(tms.loss)[:, k], np.asarray(tms_k.loss), rtol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(vms.loss)[:, k], np.asarray(vms_k.loss), rtol=5e-3)
+        flat_e = jax.tree_util.tree_leaves(ensemble.take_replica(ts2.params, k))
+        flat_s = jax.tree_util.tree_leaves(ts_k.params)
+        for a, b in zip(flat_e, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0.05, atol=0.02)
+
+    # and the two replicas actually differ from each other (different inits/noise)
+    assert not np.allclose(np.asarray(tms.loss)[:, 0], np.asarray(tms.loss)[:, 1])
+
+
+def test_per_replica_learning_rates(setup):
+    data, source, class_, cfg, idx, mask = setup
+    K = 3
+    tx = optim.make_optimizer(3e-3, 0.01)
+    ts = _init(cfg, tx, K)
+    # replicas share ONE init so only lr differs
+    p0 = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x[:1], x.shape), ts.params)
+    ts = step.TrainState(p0, jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[:1], x.shape), ts.bn_state), ts.opt_state)
+    lrs = [0.0, 1e-3, 1e-2]
+    ts = ts._replace(opt_state=ensemble.set_ensemble_lr(ts.opt_state, lrs))
+    with pytest.raises(ValueError):
+        ensemble.set_ensemble_lr(ts.opt_state, [1e-3] * (K + 1))
+
+    e_train, _ = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=1.0)
+    # snapshot before the donating train epoch invalidates ts's buffers
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(p0)[0])
+    ts2, _ = e_train(ts, data, source, class_, idx, mask, jax.random.PRNGKey(0))
+
+    leaf2 = np.asarray(jax.tree_util.tree_leaves(ts2.params)[0])
+    # lr=0 replica is frozen; the others moved, bigger lr moved further
+    np.testing.assert_array_equal(leaf2[0], leaf0[0])
+    d1 = float(np.abs(leaf2[1] - leaf0[1]).max())
+    d2 = float(np.abs(leaf2[2] - leaf0[2]).max())
+    assert d1 > 0 and d2 > d1
+
+
+def test_fit_ensemble_tracks_per_replica_best(setup):
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    ts = _init(cfg, tx, K)
+    e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=1.0)
+
+    res = ensemble.fit_ensemble(
+        ts,
+        run_train_epoch=lambda s, key, e: e_train(s, data, source, class_, idx, mask, key),
+        run_val_epoch=lambda s, key, e: e_eval(
+            s.params, s.bn_state, data, source, class_, idx, mask, key),
+        max_epochs=3,
+        early_stopping_patience=None,
+        seed=5,
+    )
+    assert res.epochs_run == 3
+    assert res.best_val_loss.shape == (K,)
+    assert len(res.train_losses) == 3 and res.train_losses[0].shape == (K,)
+    # the recorded best snapshot reproduces the recorded best val loss
+    for k in range(K):
+        be = int(res.best_epoch[k])
+        assert 0 <= be < 3
+        np.testing.assert_allclose(
+            res.best_val_loss[k],
+            np.asarray(res.val_losses[be])[k], rtol=1e-6)
+    # best snapshot differs from final state when best epoch != last
+    _, e_eval2 = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=1.0)
+    vkey = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(5), 2 * 2), 2)
+    vms = e_eval2(res.best_params, res.best_bn_state, data, source, class_, idx, mask, vkey)
+    assert np.all(np.isfinite(np.asarray(vms.loss)))
