@@ -14,10 +14,11 @@ def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(
-            "usage: hippie-tpu {train,train-multimodal,sweep,infer,kfold,serve,export,synth,bench} [args...]\n"
+            "usage: hippie-tpu {train,train-multimodal,sweep,lr-sweep,infer,kfold,serve,export,synth,bench} [args...]\n"
             "  train            3-stage unimodal pipeline (scripts/train_model.py flags)\n"
             "  train-multimodal unimodal-or-joint pipeline (--model-type multimodal)\n"
             "  sweep            full pipeline for every dataset target in ONE process\n"
+            "  lr-sweep         K learning rates / seeds trained in ONE vmapped program\n"
             "  infer            dual-checkpoint embedding export (+ --cluster k)\n"
             "  kfold            k-fold cross-validated KNN evaluation of embeddings\n"
             "  serve            HTTP embedding microservice (POST /embed)\n"
@@ -42,6 +43,10 @@ def main(argv=None):
         m.main()
     elif cmd == "sweep":
         import sweep_targets as m
+
+        return m.main(rest) or 0
+    elif cmd == "lr-sweep":
+        import lr_sweep as m
 
         return m.main(rest) or 0
     elif cmd == "infer":

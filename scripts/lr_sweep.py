@@ -1,0 +1,156 @@
+"""Hyperparameter sweep in ONE compiled program (vmapped ensemble).
+
+Sweeps K learning rates (or K seeds) of the stage-1 cVAE pretrain
+simultaneously via train/ensemble.py: every replica trains in the same
+jitted epoch program, sharing one trace/compile, one dispatch stream, and
+one process setup — on remote-TPU deployments those dominate wall-clock
+(RESULTS.md), so K configs cost far less than K full runs.
+
+The reference has no sweep tooling at all (wandb sweeps are config-only,
+never used — SURVEY.md §5); this is rebuild surplus built on the same data
+and model contract as scripts/train_model.py.
+
+Usage:
+    python scripts/lr_sweep.py --dataset cellexplorer-celltype \
+        --lrs 1e-2,3e-3,1e-3,3e-4 --max-epochs 40 --patience 10
+    python scripts/lr_sweep.py --dataset X --mode seeds --n-seeds 4 --lr 1e-3
+
+Prints a per-config table and one final JSON line for scripting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hippie_tpu.data import device_data
+from hippie_tpu.models import cvae
+from hippie_tpu.train import ensemble, optim, pipeline, step
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="hippie-tpu lr-sweep", description=__doc__.splitlines()[0]
+    )
+    p.add_argument("--dataset", required=True, help="target dataset name")
+    p.add_argument("--data-root", default="datasets")
+    p.add_argument("--modality", choices=("wave", "time"), default="wave")
+    p.add_argument("--pool", choices=("pretrain", "self"), default="pretrain",
+                   help="pretrain: leave-target-out pool (stage-1 contract); "
+                        "self: the target dataset's own rows")
+    p.add_argument("--mode", choices=("lr", "seeds"), default="lr",
+                   help="lr: one shared init, one replica per --lrs entry; "
+                        "seeds: --n-seeds independent inits at --lr")
+    p.add_argument("--lrs", default="1e-2,3e-3,1e-3,3e-4",
+                   help="comma-separated learning rates (mode=lr)")
+    p.add_argument("--lr", type=float, default=1e-3, help="lr for mode=seeds")
+    p.add_argument("--n-seeds", type=int, default=4)
+    p.add_argument("--z-dim", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--max-epochs", type=int, default=40)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--clip-val", type=float, default=None,
+                   help="global-norm clip; default mirrors the reference's "
+                        "Q7 asymmetry (wave: none, time: 1.0)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--train-frac", type=float, default=0.8)
+    p.add_argument("--num-blocks", default="2,2,2,2",
+                   help="backbone blocks per stage (tests use 1,1,1,1)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    clip_val = args.clip_val
+    if clip_val is None and args.modality == "time":
+        clip_val = 1.0  # reference Q7: time trainers clip, wave do not
+
+    cfg = pipeline.PipelineConfig(
+        dataset=args.dataset, data_root=args.data_root, verbose=False,
+    )
+    ds = (pipeline.load_pretrain_pool(cfg) if args.pool == "pretrain"
+          else pipeline.load_dataset(cfg, args.dataset))
+    data = ds.wave if args.modality == "wave" else ds.isi
+    out_size = int(data.shape[1])
+    n = int(data.shape[0])
+
+    root = jax.random.PRNGKey(args.seed)
+    perm = np.asarray(jax.random.permutation(jax.random.fold_in(root, 0), n))
+    n_train = max(1, int(args.train_frac * n))
+    tr_idx, va_idx = perm[:n_train], perm[n_train:] if n_train < n else perm[-1:]
+
+    cfg_m = cvae.CVAEConfig(
+        z_dim=args.z_dim, output_size=out_size,
+        num_blocks=tuple(int(x) for x in args.num_blocks.split(",")),
+    )
+
+    if args.mode == "lr":
+        lrs = [float(x) for x in args.lrs.split(",")]
+        K = len(lrs)
+        labels = [f"lr={x:g}" for x in lrs]
+        tx = optim.make_optimizer(lrs[0], args.weight_decay, clip_val=clip_val)
+        # one shared init so only lr differs between replicas
+        p0, s0 = cvae.unimodal_cvae_init(jax.random.fold_in(root, 1), cfg_m)
+        bcast = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), t)
+        params, bn = bcast(p0), bcast(s0)
+        opt_state = jax.vmap(tx.init)(params)
+        ts = step.TrainState(params, bn, ensemble.set_ensemble_lr(opt_state, lrs))
+    else:
+        K = args.n_seeds
+        lrs = [args.lr] * K
+        labels = [f"seed[{k}] lr={args.lr:g}" for k in range(K)]
+        tx = optim.make_optimizer(args.lr, args.weight_decay, clip_val=clip_val)
+        ts = ensemble.init_unimodal_ensemble(jax.random.fold_in(root, 1), cfg_m, tx, K)
+
+    e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=args.beta)
+    va_plan = device_data.batch_plan(va_idx, args.batch_size, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+
+    def run_train(s, key, epoch):
+        idx, mask = device_data.batch_plan(
+            tr_idx, args.batch_size, shuffle=True, key=key)
+        return e_train(s, data, ds.source, None, jnp.asarray(idx),
+                       jnp.asarray(mask), key)
+
+    def run_val(s, key, epoch):
+        return e_eval(s.params, s.bn_state, data, ds.source, None,
+                      va_plan[0], va_plan[1], key)
+
+    print(f"sweeping {K} configs on {args.dataset} ({args.pool} pool, "
+          f"{args.modality}, {n} rows, {jax.devices()[0].platform})")
+    res = ensemble.fit_ensemble(
+        ts, run_train_epoch=run_train, run_val_epoch=run_val,
+        max_epochs=args.max_epochs, early_stopping_patience=args.patience,
+        seed=args.seed, verbose=True,
+    )
+
+    best_k = int(np.argmin(res.best_val_loss))
+    print(f"\n{'config':>18} {'best val':>12} {'best epoch':>10}")
+    for k in range(K):
+        mark = " <- best" if k == best_k else ""
+        print(f"{labels[k]:>18} {res.best_val_loss[k]:12.6f} "
+              f"{int(res.best_epoch[k]):10d}{mark}")
+    print(json.dumps({
+        "dataset": args.dataset, "modality": args.modality, "mode": args.mode,
+        "configs": labels, "lrs": lrs,
+        "best_val_loss": [float(x) for x in res.best_val_loss],
+        "best_epoch": [int(x) for x in res.best_epoch],
+        "epochs_run": res.epochs_run,
+        "winner": labels[best_k], "winner_lr": lrs[best_k],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,8 +51,8 @@ def test_console_entry_lists_every_subcommand():
         rc = cli.main(["--help"])
     assert rc == 0
     help_text = buf.getvalue()
-    for sub in ("train", "train-multimodal", "sweep", "infer", "kfold",
-                "serve", "export", "synth", "bench"):
+    for sub in ("train", "train-multimodal", "sweep", "lr-sweep", "infer",
+                "kfold", "serve", "export", "synth", "bench"):
         assert f"  {sub} " in help_text or f"{{{sub}," in help_text or f",{sub}," in help_text, sub
     assert cli.main(["definitely-not-a-command"]) == 2
 
