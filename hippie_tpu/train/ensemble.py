@@ -86,6 +86,7 @@ def set_ensemble_lr(opt_state, lrs):
     replaces it with ``lrs``.
     """
     lrs = jnp.asarray(lrs, jnp.float32)
+    found = [False]
 
     def visit(node):
         if hasattr(node, "hyperparams") and "learning_rate" in node.hyperparams:
@@ -96,13 +97,16 @@ def set_ensemble_lr(opt_state, lrs):
                     f"{jnp.shape(hp['learning_rate'])}"
                 )
             hp["learning_rate"] = lrs
+            found[0] = True
             return node._replace(hyperparams=hp)
         if isinstance(node, tuple) and not hasattr(node, "_fields"):
             return tuple(visit(c) for c in node)
         return node
 
     new_state = visit(opt_state)
-    if new_state is opt_state:
+    if not found[0]:
+        # Identity comparison can't detect this (visit() rebuilds every plain
+        # tuple), so track replacement explicitly.
         raise ValueError("no inject_hyperparams lr state found in opt_state")
     return new_state
 
@@ -200,7 +204,15 @@ def fit_ensemble(
     ``patience`` epochs without improving (per-replica trajectories keep
     evolving; snapshots are frozen per replica on-device via jnp.where, one
     scalar fetch per epoch).
+
+    Best snapshots route through optim.eval_params_jit, so a schedule-free
+    optimizer snapshots the averaged x iterate (identity for plain AdamW) —
+    the same contract as pipeline.run_val. A schedule-free run_val_epoch
+    callback must itself evaluate at the x iterate (pass eval-params through
+    in the callback, as pipeline.run_val does).
     """
+    from hippie_tpu.train import optim as optim_mod
+
     root = jax.random.PRNGKey(seed)
     k = n_replicas(ts)
     best_val = np.full((k,), np.inf)
@@ -238,9 +250,10 @@ def fit_ensemble(
         improved = vl < best_val
         if improved.any() or best_params is None:
             imp = jnp.asarray(improved)
-            base_p = ts.params if best_params is None else best_params
+            eval_p = optim_mod.eval_params_jit(ts.opt_state, ts.params)
+            base_p = eval_p if best_params is None else best_params
             base_bn = ts.bn_state if best_bn is None else best_bn
-            best_params = select_best(imp, base_p, ts.params)
+            best_params = select_best(imp, base_p, eval_p)
             best_bn = select_best(imp, base_bn, ts.bn_state)
         best_epoch = np.where(improved, epoch, best_epoch)
         best_val = np.minimum(best_val, vl)

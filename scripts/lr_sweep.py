@@ -84,10 +84,15 @@ def main(argv=None):
     out_size = int(data.shape[1])
     n = int(data.shape[0])
 
+    if n < 2:
+        raise ValueError(f"need at least 2 rows to split train/val, got {n}")
     root = jax.random.PRNGKey(args.seed)
     perm = np.asarray(jax.random.permutation(jax.random.fold_in(root, 0), n))
-    n_train = max(1, int(args.train_frac * n))
-    tr_idx, va_idx = perm[:n_train], perm[n_train:] if n_train < n else perm[-1:]
+    # Validation must be disjoint from train: when train_frac rounds to the
+    # full dataset, shrink the train split by one row instead of scoring a
+    # training row as "validation".
+    n_train = min(max(1, int(args.train_frac * n)), n - 1)
+    tr_idx, va_idx = perm[:n_train], perm[n_train:]
 
     cfg_m = cvae.CVAEConfig(
         z_dim=args.z_dim, output_size=out_size,
@@ -118,10 +123,14 @@ def main(argv=None):
     va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
 
     def run_train(s, key, epoch):
+        # Same key split as pipeline.run_train: fold_in(key, 0) shuffles the
+        # epoch plan, fold_in(key, 1) feeds the reparameterization noise —
+        # sweep trajectories line up with same-seed single-model runs.
         idx, mask = device_data.batch_plan(
-            tr_idx, args.batch_size, shuffle=True, key=key)
+            tr_idx, args.batch_size, shuffle=True,
+            key=jax.random.fold_in(key, 0))
         return e_train(s, data, ds.source, None, jnp.asarray(idx),
-                       jnp.asarray(mask), key)
+                       jnp.asarray(mask), jax.random.fold_in(key, 1))
 
     def run_val(s, key, epoch):
         return e_eval(s.params, s.bn_state, data, ds.source, None,
