@@ -66,6 +66,22 @@ def build_parser():
     p.add_argument("--train-frac", type=float, default=0.8)
     p.add_argument("--num-blocks", default="2,2,2,2",
                    help="backbone blocks per stage (tests use 1,1,1,1)")
+    p.add_argument("--fit-loop", choices=("device", "host"), default="device",
+                   help="device: the whole K-replica sweep runs as ONE "
+                        "on-device while_loop (one dispatch + one fetch total "
+                        "— the host loop pays ~3 round trips PER EPOCH on "
+                        "remote backends); host: per-epoch loop, live prints")
+    p.add_argument("--progress-every", type=int, default=None,
+                   help="device loop only: run in epoch chunks of this size "
+                        "for live progress (identical trajectory)")
+    p.add_argument("--aot-dir", default=os.path.join(
+        os.path.expanduser("~"), ".cache", "hippie_tpu_aot"),
+        help="compiled-program cache for the device fit loop; '' disables")
+    p.add_argument("--export-winner", default=None, metavar="CKPT",
+                   help="write the winning replica as a Lightning stage-1 "
+                        "checkpoint; feed it to the pipeline via "
+                        "train_model --stage1-{wave,time}-ckpt to train "
+                        "stages 2-3 from the swept winner")
     return p
 
 
@@ -94,8 +110,14 @@ def main(argv=None):
     n_train = min(max(1, int(args.train_frac * n)), n - 1)
     tr_idx, va_idx = perm[:n_train], perm[n_train:]
 
+    # Same geometry the pipeline's stage-1 models use (pipeline.py stage 1:
+    # num_sources=registry.NUM_SOURCES, num_classes=5) so an exported winner
+    # seeds stages 2-3 directly.
+    from hippie_tpu.data import registry
+
     cfg_m = cvae.CVAEConfig(
         z_dim=args.z_dim, output_size=out_size,
+        num_sources=registry.NUM_SOURCES, num_classes=5,
         num_blocks=tuple(int(x) for x in args.num_blocks.split(",")),
     )
 
@@ -118,31 +140,49 @@ def main(argv=None):
         tx = optim.make_optimizer(args.lr, args.weight_decay, clip_val=clip_val)
         ts = ensemble.init_unimodal_ensemble(jax.random.fold_in(root, 1), cfg_m, tx, K)
 
-    e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=args.beta)
     va_plan = device_data.batch_plan(va_idx, args.batch_size, shuffle=False)
     va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
 
-    def run_train(s, key, epoch):
-        # Same key split as pipeline.run_train: fold_in(key, 0) shuffles the
-        # epoch plan, fold_in(key, 1) feeds the reparameterization noise —
-        # sweep trajectories line up with same-seed single-model runs.
-        idx, mask = device_data.batch_plan(
-            tr_idx, args.batch_size, shuffle=True,
-            key=jax.random.fold_in(key, 0))
-        return e_train(s, data, ds.source, None, jnp.asarray(idx),
-                       jnp.asarray(mask), jax.random.fold_in(key, 1))
-
-    def run_val(s, key, epoch):
-        return e_eval(s.params, s.bn_state, data, ds.source, None,
-                      va_plan[0], va_plan[1], key)
-
     print(f"sweeping {K} configs on {args.dataset} ({args.pool} pool, "
-          f"{args.modality}, {n} rows, {jax.devices()[0].platform})")
-    res = ensemble.fit_ensemble(
-        ts, run_train_epoch=run_train, run_val_epoch=run_val,
-        max_epochs=args.max_epochs, early_stopping_patience=args.patience,
-        seed=args.seed, verbose=True,
-    )
+          f"{args.modality}, {n} rows, {jax.devices()[0].platform}, "
+          f"{args.fit_loop} loop)")
+    if args.fit_loop == "device":
+        # The whole sweep is ONE dispatch (train/ensemble.device_fit_ensemble)
+        # — a K=4 x 40-epoch host loop pays ~120 round trips this kills.
+        batch_step, eval_step = step.make_unimodal_steps(tx, beta=args.beta)
+        res = ensemble.device_fit_ensemble(
+            ts, batch_step=batch_step, eval_step=eval_step,
+            arrays=(data,), source=ds.source, class_=None,
+            train_stream=tr_idx, batch_size=args.batch_size,
+            val_idx=va_plan[0], val_mask=va_plan[1], val_nb=va_plan[0].shape[0],
+            max_epochs=args.max_epochs,
+            early_stopping_patience=args.patience, seed=args.seed,
+            shuffle=True, aot_dir=(args.aot_dir or None),
+            aot_desc=f"lrsweep|{args.modality}|z={args.z_dim}|nb={args.num_blocks}",
+            progress_every=args.progress_every, verbose=True,
+        )
+    else:
+        e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=args.beta)
+
+        def run_train(s, key, epoch):
+            # Same key split as pipeline.run_train (fold_in 0: plan shuffle,
+            # fold_in 1: reparameterization noise) over the canonical bucketed
+            # plan — the device loop generates the identical plan in-device,
+            # so the two loops stay on one trajectory.
+            idx, mask, nb = device_data.host_epoch_plan(
+                tr_idx, args.batch_size, True, jax.random.fold_in(key, 0))
+            return e_train(s, data, ds.source, None, jnp.asarray(idx[:nb]),
+                           jnp.asarray(mask[:nb]), jax.random.fold_in(key, 1))
+
+        def run_val(s, key, epoch):
+            return e_eval(s.params, s.bn_state, data, ds.source, None,
+                          va_plan[0], va_plan[1], key)
+
+        res = ensemble.fit_ensemble(
+            ts, run_train_epoch=run_train, run_val_epoch=run_val,
+            max_epochs=args.max_epochs, early_stopping_patience=args.patience,
+            seed=args.seed, verbose=True,
+        )
 
     best_k = int(np.argmin(res.best_val_loss))
     print(f"\n{'config':>18} {'best val':>12} {'best epoch':>10}")
@@ -150,6 +190,32 @@ def main(argv=None):
         mark = " <- best" if k == best_k else ""
         print(f"{labels[k]:>18} {res.best_val_loss[k]:12.6f} "
               f"{int(res.best_epoch[k]):10d}{mark}")
+
+    exported = None
+    if args.export_winner:
+        # Winner replica -> Lightning stage-1 ckpt. Dict key order inside
+        # vmap/jit is key-sorted; restore torch registration order against an
+        # eval_shape template exactly like the pipeline (CLAUDE.md invariant).
+        from hippie_tpu.train import checkpoint as ckpt_mod
+        from hippie_tpu.train.pipeline import _ordering_template
+
+        template = _ordering_template(cfg_m)
+        bp = ensemble.take_replica(res.best_params, best_k)
+        bbn = ensemble.take_replica(res.best_bn_state, best_k)
+        ckpt_mod.save_lightning_ckpt(
+            args.export_winner,
+            ckpt_mod.reorder_like(template[0], bp),
+            ckpt_mod.reorder_like(template[1], bbn),
+            epoch=int(res.best_epoch[best_k]),
+            hyper_parameters={
+                "lr": float(lrs[best_k]),
+                "best_val_loss": float(res.best_val_loss[best_k]),
+                "sweep": labels, "modality": args.modality,
+            },
+        )
+        exported = args.export_winner
+        print(f"exported winner ({labels[best_k]}) -> {exported}")
+
     print(json.dumps({
         "dataset": args.dataset, "modality": args.modality, "mode": args.mode,
         "configs": labels, "lrs": lrs,
@@ -157,6 +223,7 @@ def main(argv=None):
         "best_epoch": [int(x) for x in res.best_epoch],
         "epochs_run": res.epochs_run,
         "winner": labels[best_k], "winner_lr": lrs[best_k],
+        "exported": exported,
     }))
     return 0
 

@@ -143,3 +143,124 @@ def test_fit_ensemble_tracks_per_replica_best(setup):
     vkey = jax.random.fold_in(jax.random.fold_in(jax.random.PRNGKey(5), 2 * 2), 2)
     vms = e_eval2(res.best_params, res.best_bn_state, data, source, class_, idx, mask, vkey)
     assert np.all(np.isfinite(np.asarray(vms.loss)))
+
+
+def test_device_fit_ensemble_matches_host(setup):
+    """The whole-sweep-on-device loop follows the host fit_ensemble
+    trajectory when the host is driven on the canonical bucketed plan
+    (the lr_sweep --fit-loop host path)."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    n = int(data.shape[0])
+    tr_idx, va_idx = np.arange(30), np.arange(30, n)
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    seed = 7
+    max_epochs, patience, B = 5, None, 16
+
+    va_plan = device_data.batch_plan(va_idx, B, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+
+    # ---- host loop (per-epoch dispatches) -------------------------------
+    ts_h = _init(cfg, tx, K, seed=5)
+    e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=1.0)
+
+    def run_train(s, key, epoch):
+        pidx, pmask, nb = device_data.host_epoch_plan(
+            tr_idx, B, True, jax.random.fold_in(key, 0))
+        return e_train(s, data, source, None, jnp.asarray(pidx[:nb]),
+                       jnp.asarray(pmask[:nb]), jax.random.fold_in(key, 1))
+
+    def run_val(s, key, epoch):
+        return e_eval(s.params, s.bn_state, data, source, None,
+                      va_plan[0], va_plan[1], key)
+
+    host = ensemble.fit_ensemble(
+        ts_h, run_train_epoch=run_train, run_val_epoch=run_val,
+        max_epochs=max_epochs, early_stopping_patience=patience, seed=seed)
+
+    # ---- device loop (one dispatch) --------------------------------------
+    ts_d = _init(cfg, tx, K, seed=5)
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+    dev = ensemble.device_fit_ensemble(
+        ts_d, batch_step=batch_step, eval_step=eval_step,
+        arrays=(data,), source=source, class_=None,
+        train_stream=tr_idx, batch_size=B,
+        val_idx=va_plan[0], val_mask=va_plan[1], val_nb=va_plan[0].shape[0],
+        max_epochs=max_epochs, early_stopping_patience=patience, seed=seed)
+
+    assert dev.epochs_run == host.epochs_run
+    np.testing.assert_array_equal(dev.best_epoch, host.best_epoch)
+    np.testing.assert_allclose(
+        np.stack(dev.train_losses), np.stack(host.train_losses), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.stack(dev.val_losses), np.stack(host.val_losses), rtol=1e-5)
+    np.testing.assert_allclose(dev.best_val_loss, host.best_val_loss, rtol=1e-5)
+    # best snapshots per replica
+    for k in range(K):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ensemble.take_replica(dev.best_params, k)),
+            jax.tree_util.tree_leaves(ensemble.take_replica(host.best_params, k)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_device_fit_ensemble_early_stop_and_chunks(setup):
+    """Chunked execution (progress_every) is trajectory-identical to the
+    single dispatch, and joint early stopping fires once every replica
+    stalls."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    tr_idx, va_idx = np.arange(30), np.arange(30, int(data.shape[0]))
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    va_plan = device_data.batch_plan(va_idx, 16, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+
+    kw = dict(
+        batch_step=batch_step, eval_step=eval_step, arrays=(data,),
+        source=source, class_=None, train_stream=tr_idx, batch_size=16,
+        val_idx=va_plan[0], val_mask=va_plan[1], val_nb=va_plan[0].shape[0],
+        max_epochs=6, early_stopping_patience=1, seed=3)
+    one = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9), **kw)
+    chk = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                       progress_every=2, **kw)
+    assert one.epochs_run == chk.epochs_run
+    np.testing.assert_array_equal(np.stack(one.val_losses), np.stack(chk.val_losses))
+    if one.epochs_run < 6:  # early stop fired: every replica waited >= 1
+        waits = one.epochs_run - 1 - one.best_epoch
+        assert np.all(waits >= 1)
+
+
+def test_sharded_ensemble_matches(setup):
+    """Replica axis sharded over a 2-device mesh: per-replica losses TRACK
+    the single-device ensemble. Not bit-equal: GSPMD partitioning changes
+    the backward's fp32 reduction order, and first-step Adam amplifies
+    zero-grad conv-bias noise to O(lr) — the documented vmap-vs-single
+    drift class (module docstring), measured ~0.3% here."""
+    from jax.sharding import Mesh
+
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    tr_idx, va_idx = np.arange(30), np.arange(30, int(data.shape[0]))
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    va_plan = device_data.batch_plan(va_idx, 16, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+    kw = dict(
+        batch_step=batch_step, eval_step=eval_step, arrays=(data,),
+        source=source, class_=None, train_stream=tr_idx, batch_size=16,
+        val_idx=va_plan[0], val_mask=va_plan[1], val_nb=va_plan[0].shape[0],
+        max_epochs=3, early_stopping_patience=None, seed=3)
+
+    base = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9), **kw)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("replica",))
+    ts_s = jax.tree_util.tree_map(
+        lambda x: x, _init(cfg, tx, K, seed=9))
+    ts_s = step.TrainState(*ensemble.shard_replicas(
+        (ts_s.params, ts_s.bn_state, ts_s.opt_state), mesh, "replica"))
+    shard = ensemble.device_fit_ensemble(ts_s, **kw)
+
+    np.testing.assert_allclose(
+        np.stack(shard.val_losses), np.stack(base.val_losses), rtol=1.5e-2)
+    np.testing.assert_allclose(shard.best_val_loss, base.best_val_loss, rtol=1.5e-2)
