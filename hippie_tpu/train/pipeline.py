@@ -149,6 +149,15 @@ class PipelineConfig:
     # executed batch via log_fn) — the reference's per-step self.log
     # granularity (model.py:111-113). Device fit loop only.
     log_every_step: bool = False
+    # Seed stage 1 from an existing Lightning checkpoint instead of fitting
+    # it — the sweep->pipeline loop: `hippie-tpu lr-sweep --export-winner`
+    # writes a stage-1 ckpt whose winning replica these paths feed straight
+    # into stages 2-3 (the reference's reload-best-then-continue contract,
+    # train_model.py:160-163, with the reload coming from a sweep instead of
+    # the stage-1 fit). Geometry must match this pipeline's stage-1 config.
+    # Unimodal pipeline only.
+    stage1_wave_ckpt: Optional[str] = None
+    stage1_time_ckpt: Optional[str] = None
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -799,9 +808,13 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     root = jax.random.PRNGKey(cfg.seed)
 
     # ---------------- Stage 1: leave-target-out pretraining ----------------
-    with timer.stage("load_pool"):
-        pool = load_pretrain_pool(cfg)
-    tr_idx, va_idx = train_val_split(len(pool), cfg.train_val_split, jax.random.fold_in(root, 0))
+    pool = None
+    if not (cfg.stage1_wave_ckpt and cfg.stage1_time_ckpt):
+        # Both-ckpts runs never touch the pool: skip the (multi-dataset)
+        # ingest+preprocess entirely.
+        with timer.stage("load_pool"):
+            pool = load_pretrain_pool(cfg)
+        tr_idx, va_idx = train_val_split(len(pool), cfg.train_val_split, jax.random.fold_in(root, 0))
 
     num_sources = registry.NUM_SOURCES
     trackers: Dict[str, BestTracker] = {}
@@ -811,19 +824,45 @@ def _run_unimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
     for mi, modality in enumerate(("wave", "time")):
         out_size = 50 if modality == "wave" else 100
-        data = pool.wave if modality == "wave" else pool.isi
         # Quirk Q7: the wave pretrain/finetune trainer has no grad clipping.
         clip = None if modality == "wave" else cfg.gradient_clip_val
         cfg_m = cvae.CVAEConfig(
             z_dim=cfg.z_dim, output_size=out_size, class_hidden_dim=cfg.class_hidden_dim,
             num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
         )
+        tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
+        stage1_ckpt = cfg.stage1_wave_ckpt if modality == "wave" else cfg.stage1_time_ckpt
+        if stage1_ckpt:
+            # Sweep->pipeline seam: skip the stage-1 fit, seed stages 2-3
+            # from the checkpoint's weights (lr-sweep --export-winner, or any
+            # Lightning stage-1 ckpt — ours or reference-trained).
+            from hippie_tpu import export as export_mod
+
+            with timer.stage(f"load_stage1_{modality}"):
+                lp, lbn, lcfg = export_mod.load_model_from_ckpt(
+                    stage1_ckpt, multimodal=False, fallback_config=cfg_m)
+            if tuple(lcfg) != tuple(cfg_m):
+                raise ValueError(
+                    f"--stage1-{'wave' if modality == 'wave' else 'time'}-ckpt geometry "
+                    f"{lcfg} does not match this pipeline's stage-1 config {cfg_m}; "
+                    "re-run the sweep with matching --z-dim/--num-blocks")
+            templates[modality] = _ordering_template(cfg_m)
+            states[modality] = step.TrainState(lp, lbn, None)
+            # The loaded weights seed the tracker's best trees (stage-3's Q10
+            # graft reads them); best_val stays inf so the first stage-2
+            # improvement takes over the on-disk ckpt.
+            tracker.best_params, tracker.best_bn = lp, lbn
+            prev_opts[modality] = None
+            trackers[modality] = tracker
+            if cfg.verbose:
+                print(f"[stage 1] {modality} model seeded from {stage1_ckpt} (fit skipped)")
+            continue
+        data = pool.wave if modality == "wave" else pool.isi
         with timer.stage("setup"):
             params, bn = _init_unimodal(jax.random.fold_in(root, 100 + mi), cfg_m)
             templates[modality] = _ordering_template(cfg_m)
             tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, clip, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
             ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
-        tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_{modality}_model.ckpt"))
         if cfg.verbose:
             print(f"[stage 1] pretraining {modality} model ({cvae.param_count(params):,} params)")
         with timer.stage(f"pretrain_{modality}"):
@@ -1272,5 +1311,9 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
 
 def run_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     if cfg.model_type == "multimodal":
+        if cfg.stage1_wave_ckpt or cfg.stage1_time_ckpt:
+            raise ValueError(
+                "--stage1-{wave,time}-ckpt seed the UNIMODAL pipeline's "
+                "stage 1; the multimodal pipeline trains one joint model")
         return run_multimodal_pipeline(cfg)
     return run_unimodal_pipeline(cfg)

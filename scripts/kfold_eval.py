@@ -44,23 +44,57 @@ def build_parser():
     parser.add_argument("--drop-index-column", action="store_true",
                         help="exclude the pandas index column (quirk Q4 fix)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--refit", action="store_true",
+                        help="honest cross-validation of the REPRESENTATION, "
+                             "not just the KNN layer: per fold, re-run the "
+                             "fine-tune (+ optional supervised) stage from "
+                             "the checkpoint weights on the fold's train "
+                             "rows only, embed the held-out fold with that "
+                             "model, and report embed-once vs refit side by "
+                             "side. For a fully honest protocol start from "
+                             "a ckpt that never saw this dataset (e.g. "
+                             "`hippie-tpu lr-sweep --export-winner` on the "
+                             "leave-target-out pool). Dual-ckpt path only.")
+    parser.add_argument("--refit-epochs", type=int, default=20,
+                        help="per-fold fine-tune epochs (--refit)")
+    parser.add_argument("--refit-supervised-epochs", type=int, default=0,
+                        help="per-fold supervised epochs on the fold-train "
+                             "labels after the fine-tune (0 = off); "
+                             "embeddings stay honest (no class conditioning)")
+    parser.add_argument("--refit-lr", type=float, default=1e-4,
+                        help="per-fold refit lr (pipeline stage-2/3 contract: "
+                             "learning_rate/10)")
+    parser.add_argument("--refit-patience", type=int, default=10,
+                        help="early-stopping patience within a fold refit "
+                             "(on the fold-train val split; 0 = none)")
+    parser.add_argument("--refit-batch-size", type=int, default=512)
+    parser.add_argument("--aot-dir", type=str, default=os.path.join(
+        os.path.expanduser("~"), ".cache", "hippie_tpu_aot"),
+        help="compiled-program cache shared with the pipeline; folds share "
+             "one fit program via shape bucketing. '' disables")
     return parser
 
 
 def _fold_sweep(emb, labels, folds, num_classes):
-    """Balanced accuracy per (fold, k); one compiled program for all folds."""
+    """Balanced accuracy per (fold, k); one compiled program for all folds.
+
+    ``emb`` is either one [N, D] array shared by every fold (embed-once
+    mode) or a list of per-fold [N, D] arrays (--refit mode: fold i's rows
+    are embedded by the model refit WITHOUT fold i's validation rows)."""
     from hippie_tpu.evaluate import knn_eval, metrics
 
+    embs = emb if isinstance(emb, list) else [emb] * len(folds)
+    dim = embs[0].shape[1]
     max_tr = max(len(tr) for tr, _ in folds)
     max_va = max(len(va) for _, va in folds)
     per_k = {k: [] for k in KS}
-    for tr, va in folds:
-        tr_x = np.full((max_tr, emb.shape[1]), _SENTINEL, np.float32)
+    for (tr, va), e in zip(folds, embs):
+        tr_x = np.full((max_tr, dim), _SENTINEL, np.float32)
         tr_y = np.zeros((max_tr,), np.int32)
-        tr_x[: len(tr)] = emb[tr]
+        tr_x[: len(tr)] = e[tr]
         tr_y[: len(tr)] = labels[tr]
-        va_x = np.zeros((max_va, emb.shape[1]), np.float32)
-        va_x[: len(va)] = emb[va]
+        va_x = np.zeros((max_va, dim), np.float32)
+        va_x[: len(va)] = e[va]
         preds = knn_eval.knn_predict_sweep(tr_x, tr_y, va_x, ks=KS,
                                            num_classes=num_classes)
         for k in KS:
@@ -69,12 +103,103 @@ def _fold_sweep(emb, labels, folds, num_classes):
     return per_k
 
 
+def _refit_fold_embeddings(args, data, source, labels, folds, p0, bn0, cfgm,
+                           modality):
+    """Per-fold refit: fine-tune (+ optional supervised) the checkpoint
+    weights on the fold's TRAIN rows only, then embed every row with that
+    model. Returns one [N, z] embedding array per fold.
+
+    Mirrors the pipeline's stage-2/3 recipe on the fold subset: lr/10
+    fine-tune (quirk-Q7 clip asymmetry), optional supervised stage seeded
+    from the fine-tune best minus the class embedding (quirk Q10, via
+    pipeline._seed_from_best), balanced stream, clip 1.0. Embeddings are
+    honest (no class conditioning) either way. Fits ride the default
+    device loop + AOT cache; shape bucketing means the ~K folds share one
+    compiled fit program (fold sizes differ by <=1 row).
+
+    Caveat documented in --refit help: this removes the FOLDED stages'
+    leakage; if the input ckpt itself was trained on every row (e.g. a
+    pipeline stage-2 ckpt of this dataset), the starting weights still saw
+    the held-out rows — start from a pretrain-pool ckpt for full honesty.
+    """
+    import jax
+
+    from hippie_tpu.data import device_data, sampling
+    from hippie_tpu.evaluate import embeddings as emb_mod
+    from hippie_tpu.train import optim, pipeline, step
+
+    n_cls = int(len(np.unique(labels)))
+    clip_ft = None if modality == "wave" else 1.0  # quirk Q7
+    fit_cfg = pipeline.PipelineConfig(
+        dataset=args.dataset, data_root=args.data_root,
+        early_stopping_patience=(args.refit_patience or None),
+        seed=args.seed, verbose=False, aot_dir=(args.aot_dir or None),
+    )
+    tx_ft = optim.make_optimizer(args.refit_lr, 0.01, clip_ft)
+    tx_sup = optim.make_optimizer(args.refit_lr, 0.01, 1.0)
+    order_t = pipeline._ordering_template(cfgm)
+    cfg_sup = cfgm._replace(num_classes=n_cls)
+    labels_dev = None
+    if args.refit_supervised_epochs > 0:
+        import jax.numpy as jnp
+
+        labels_dev = jnp.asarray(np.asarray(labels, np.int32))
+    root = jax.random.PRNGKey(args.seed)
+    mi = 0 if modality == "wave" else 1
+    out = []
+    for fi, (tr, _va) in enumerate(folds):
+        tr = np.asarray(tr)
+        # train/val split WITHIN the fold-train rows (early stopping must
+        # never see the held-out fold)
+        f_tr, f_va = device_data.train_val_split(
+            len(tr), 0.8, jax.random.fold_in(root, 100 + fi))
+        ft_tr, ft_va = tr[f_tr], tr[f_va]
+        params, bn = pipeline._seed_from_best(p0, bn0, order_t, drop=())
+        ts = step.TrainState(params, bn, jax.jit(tx_ft.init)(params))
+        res = pipeline._fit_unimodal_stage(
+            cfg=fit_cfg, ts=ts, tx=tx_ft, data=data, source=source,
+            class_=source, train_indices=ft_tr, val_indices=ft_va,
+            batch_size=args.refit_batch_size, max_epochs=args.refit_epochs,
+            beta=1.0, use_class_labels=False, shuffle_train=False,
+            stage_seed=1000 + 10 * fi + mi, lr=args.refit_lr,
+            aot_extra=f"kfold|clip={clip_ft}",
+        )
+        # stage-2 contract: embeddings come from the LAST-epoch model
+        state = res.state
+        emb_p, emb_bn = state.params, state.bn_state
+        if args.refit_supervised_epochs > 0:
+            src_p = res.best_params if res.best_epoch >= 0 else state.params
+            src_bn = res.best_bn_state if res.best_epoch >= 0 else state.bn_state
+            tmpl = pipeline._init_unimodal(
+                jax.random.fold_in(root, 500 + 10 * fi + mi), cfg_sup)
+            sp, sbn = pipeline._seed_from_best(src_p, src_bn, tmpl)
+            ts_s = step.TrainState(sp, sbn, jax.jit(tx_sup.init)(sp))
+            stream = sampling.balanced_indices(labels[ft_tr], seed=args.seed)
+            res_s = pipeline._fit_unimodal_stage(
+                cfg=fit_cfg, ts=ts_s, tx=tx_sup, data=data, source=source,
+                class_=labels_dev, train_indices=ft_tr, val_indices=ft_va,
+                batch_size=args.refit_batch_size,
+                max_epochs=args.refit_supervised_epochs, beta=1.0,
+                use_class_labels=True, shuffle_train=False,
+                fixed_train_stream=ft_tr[stream],
+                stage_seed=2000 + 10 * fi + mi, lr=args.refit_lr,
+                aot_extra="kfold|clip=1.0",
+            )
+            # stage-3 contract: embeddings come from the BEST supervised model
+            emb_p = res_s.best_params if res_s.best_epoch >= 0 else res_s.state.params
+            emb_bn = res_s.best_bn_state if res_s.best_epoch >= 0 else res_s.state.bn_state
+        out.append(np.asarray(emb_mod.embed_unimodal(emb_p, emb_bn, data, source)))
+    return out
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.joint_checkpoint is None and (
             args.wave_checkpoint is None or args.time_checkpoint is None):
         build_parser().error(
             "provide --wave-checkpoint and --time-checkpoint, or --joint-checkpoint")
+    if args.refit and args.joint_checkpoint is not None:
+        build_parser().error("--refit supports the dual-checkpoint path only")
 
     from hippie_tpu.utils.cache import enable_persistent_cache
 
@@ -115,7 +240,7 @@ def main(argv=None):
         p, s, cfg = hexport.load_model_from_ckpt(args.joint_checkpoint, multimodal=True)
     else:
         pw, sw, cfg = hexport.load_model_from_ckpt(args.wave_checkpoint, multimodal=False)
-        pt, st, _ = hexport.load_model_from_ckpt(args.time_checkpoint, multimodal=False)
+        pt, st, cfg_t = hexport.load_model_from_ckpt(args.time_checkpoint, multimodal=False)
     if src_id >= cfg.num_sources:
         print(f"WARNING: source id {src_id} for {args.dataset} exceeds the "
               f"model's source-embedding table ({cfg.num_sources}); using "
@@ -131,18 +256,46 @@ def main(argv=None):
         kinds["joint"] = np.hstack([kinds["waveform"], kinds["isi"]])
     print(f"model geometry: z_dim={cfg.z_dim}, num_sources={cfg.num_sources}")
 
+    modes = {"embed_once": kinds}
+    if args.refit:
+        from hippie_tpu.utils import aot
+
+        aot.set_default_dir(args.aot_dir or None)
+        print(f"refitting per fold: {args.refit_epochs} fine-tune"
+              + (f" + {args.refit_supervised_epochs} supervised"
+                 if args.refit_supervised_epochs else "") + " epochs")
+        w_embs = _refit_fold_embeddings(
+            args, wave, source, labels, folds, pw, sw, cfg, "wave")
+        t_embs = _refit_fold_embeddings(
+            args, isi_p, source, labels, folds, pt, st, cfg_t, "time")
+        modes["refit"] = {
+            "waveform": w_embs,
+            "isi": t_embs,
+            "joint": [np.hstack([w, t]) for w, t in zip(w_embs, t_embs)],
+        }
+
     rows = []
-    for kind, emb in kinds.items():
-        per_k = _fold_sweep(emb, labels, folds, num_classes)
-        best_k = max(KS, key=lambda k: float(np.mean(per_k[k])))
-        print(f"{kind}: best mean balanced accuracy "
-              f"{np.mean(per_k[best_k]):.4f} ± {np.std(per_k[best_k]):.4f} (k={best_k})")
-        for k in KS:
-            accs = per_k[k]
-            rows.append({"kind": kind, "k": k,
-                         "mean_balanced_accuracy": float(np.mean(accs)),
-                         "std_balanced_accuracy": float(np.std(accs)),
-                         "folds": len(accs)})
+    best_by = {}
+    for mode, mode_kinds in modes.items():
+        for kind, emb in mode_kinds.items():
+            per_k = _fold_sweep(emb, labels, folds, num_classes)
+            best_k = max(KS, key=lambda k: float(np.mean(per_k[k])))
+            best_by[(mode, kind)] = (float(np.mean(per_k[best_k])),
+                                     float(np.std(per_k[best_k])), best_k)
+            for k in KS:
+                accs = per_k[k]
+                rows.append({"mode": mode, "kind": kind, "k": k,
+                             "mean_balanced_accuracy": float(np.mean(accs)),
+                             "std_balanced_accuracy": float(np.std(accs)),
+                             "folds": len(accs)})
+    for kind in kinds:
+        m, s, bk = best_by[("embed_once", kind)]
+        line = f"{kind}: embed-once {m:.4f} ± {s:.4f} (k={bk})"
+        if ("refit", kind) in best_by:
+            rm, rs, rbk = best_by[("refit", kind)]
+            line += (f" | refit {rm:.4f} ± {rs:.4f} (k={rbk})"
+                     f" | leakage delta {m - rm:+.4f}")
+        print(line)
     out_path = os.path.join(args.output_dir, f"{args.dataset}_kfold_knn.csv")
     pd.DataFrame(rows).to_csv(out_path, index=False)
     print(f"saved {out_path}")

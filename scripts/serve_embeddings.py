@@ -71,8 +71,16 @@ def build_parser():
     parser.add_argument("--num-classes", type=int, default=5)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8477)
-    parser.add_argument("--warmup-rows", type=int, default=512,
-                        help="bucket size to pre-compile at startup (0 to skip)")
+    parser.add_argument("--warmup-buckets", type=str, default="512,1024,2048,4096",
+                        help="comma-separated ladder of row buckets to pre-compile at "
+                             "startup. Warming the LADDER (not one bucket) means (a) no "
+                             "live client ever pays a first-of-bucket compile and (b) the "
+                             "burst coalescer's cap — the largest warm bucket — is high "
+                             "enough to form maximal groups, which is what cuts burst "
+                             "p99. '' disables the ladder")
+    parser.add_argument("--warmup-rows", type=int, default=None,
+                        help="legacy single-bucket warmup: >0 adds that bucket to the "
+                             "ladder; 0 disables ALL warmup (including the ladder)")
     return parser
 
 
@@ -350,9 +358,23 @@ class EmbeddingService:
     # Public API
     # ------------------------------------------------------------------
 
-    def warmup(self, rows: int):
-        if rows > 0:
-            self.embed(np.zeros((rows, 46), np.float32), np.zeros((rows, 100), np.float32), 0, False)
+    def warmup(self, rows):
+        """Pre-compile the given row bucket(s). Accepts one int or a ladder
+        of them; duplicates after power-of-two bucketing are skipped. After
+        this, ``_max_bucket`` equals the ladder's top, so the coalescer can
+        group bursts up to that many rows into ONE device call."""
+        from hippie_tpu.evaluate.embeddings import _bucket
+
+        if isinstance(rows, int):
+            rows = [rows]
+        done = set()
+        for r in sorted(int(x) for x in rows):
+            b = _bucket(r) if r > 0 else 0
+            if b <= 0 or b in done:
+                continue
+            done.add(b)
+            self.embed(np.zeros((b, 46), np.float32),
+                       np.zeros((b, 100), np.float32), 0, False)
 
     def embed(self, waveforms: np.ndarray, isi_dists: np.ndarray, source: int, normalize: bool):
         """Enqueue one request and wait; returns (wave, isi, joint, seconds).
@@ -460,8 +482,14 @@ def main(argv=None):
         wave_artifact=args.wave_artifact, time_artifact=args.time_artifact,
         joint_ckpt=args.joint_checkpoint, joint_artifact=args.joint_artifact,
     )
-    print("warming up...")
-    service.warmup(args.warmup_rows)
+    ladder = [int(x) for x in args.warmup_buckets.split(",") if x.strip()] \
+        if args.warmup_buckets else []
+    if args.warmup_rows is not None:
+        # legacy flag: 0 disables everything, >0 adds its bucket
+        ladder = ladder + [args.warmup_rows] if args.warmup_rows > 0 else []
+    if ladder:
+        print(f"warming up buckets {sorted(set(ladder))}...")
+        service.warmup(ladder)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving {service.mode} embeddings on http://{args.host}:{args.port} (POST /embed)")
     try:

@@ -84,6 +84,12 @@ def build_parser():
                              "--dp-devices runs too. Keys include a source hash, so "
                              "edited code never replays stale programs. Pass '' to "
                              "disable. Default: on (%(default)s)")
+    parser.add_argument("--stage1-wave-ckpt", type=str, default=None,
+                        help="seed the wave model from this Lightning stage-1 ckpt and skip "
+                             "its pretrain fit (e.g. an `hippie-tpu lr-sweep --export-winner` "
+                             "output); geometry must match --z-dim/--num-blocks")
+    parser.add_argument("--stage1-time-ckpt", type=str, default=None,
+                        help="same for the time/ISI model")
     parser.add_argument("--fit-loop", choices=("device", "host"), default="device",
                         help="stage fits as ONE on-device while_loop (zero per-epoch host "
                              "round trips; logs replayed post-stage) or the per-epoch host loop "
@@ -178,6 +184,8 @@ def run(args, model_type: str = "unimodal"):
         log_every_step=getattr(args, "log_every_step", False),
         optimizer=getattr(args, "optimizer", "adamw"),
         aot_dir=(getattr(args, "aot_dir", None) or None),
+        stage1_wave_ckpt=getattr(args, "stage1_wave_ckpt", None),
+        stage1_time_ckpt=getattr(args, "stage1_time_ckpt", None),
         log_fn=log_fn,
     )
 

@@ -53,3 +53,76 @@ def test_seeds_mode_runs(synth_root, capsys):
     assert len(rec["best_val_loss"]) == 2
     # independent seeds: the two replicas trained to different losses
     assert rec["best_val_loss"][0] != rec["best_val_loss"][1]
+
+
+def test_export_winner_feeds_pipeline(tmp_path, capsys):
+    """The sweep->pipeline loop: export winners for both modalities, run
+    stages 2-3 from them (stage-1 fits skipped), geometry guard raises on a
+    mismatched config."""
+    import numpy as np
+
+    from hippie_tpu.export import load_model_from_ckpt
+    from hippie_tpu.train.pipeline import PipelineConfig, run_pipeline
+
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "cellexplorer-celltype", n=48, num_classes=3, seed=0)
+
+    m = _load_module()
+    ckpts = {}
+    for modality in ("wave", "time"):
+        path = str(tmp_path / f"winner_{modality}.ckpt")
+        rc = m.main([
+            "--dataset", "cellexplorer-celltype", "--data-root", str(root),
+            "--pool", "self", "--modality", modality, "--lrs", "1e-3,3e-3",
+            "--max-epochs", "2", "--batch-size", "16",
+            "--num-blocks", "1,1,1,1", "--z-dim", "4",
+            "--export-winner", path, "--aot-dir", "",
+        ])
+        assert rc == 0
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rec["exported"] == path
+        ckpts[modality] = (path, rec["winner_lr"], rec["best_val_loss"])
+        payload_hp = load_model_from_ckpt(path, multimodal=False)
+        assert payload_hp[2].z_dim == 4  # geometry round-trips
+
+    cfg = PipelineConfig(
+        z_dim=4, dataset="cellexplorer-celltype", data_root=str(root),
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpts"),
+        batch_size=16, supervised_batch_size=16,
+        pretrain_max_epochs=7,  # must be ignored: stage 1 is ckpt-seeded
+        finetune_max_epochs=1, supervised_max_epochs=1,
+        num_blocks=(1, 1, 1, 1), verbose=False,
+        stage1_wave_ckpt=ckpts["wave"][0], stage1_time_ckpt=ckpts["time"][0],
+    )
+    import hippie_tpu.train.pipeline as pl
+
+    calls = []
+    orig = pl._fit_unimodal_stage
+
+    def counting(*a, **kw):
+        calls.append(kw.get("max_epochs"))
+        return orig(*a, **kw)
+
+    pl._fit_unimodal_stage = counting
+    try:
+        results = run_pipeline(cfg)
+    finally:
+        pl._fit_unimodal_stage = orig
+
+    # stage-1 fits skipped: 2 finetune + 2 supervised fits only, none with
+    # the pretrain epoch budget
+    assert len(calls) == 4 and 7 not in calls
+    assert "load_pool" not in results["timings"]
+    for kind in ("waveform", "isi", "joint"):
+        acc = results["best"][kind]["balanced_accuracy"]
+        assert 0.0 <= acc <= 1.0 and np.isfinite(acc)
+
+    # geometry guard: a pipeline with a different z_dim must refuse the ckpt
+    bad = PipelineConfig(
+        z_dim=5, dataset="cellexplorer-celltype", data_root=str(root),
+        output_dir=str(tmp_path / "out2"), checkpoint_dir=str(tmp_path / "ck2"),
+        num_blocks=(1, 1, 1, 1), verbose=False,
+        stage1_wave_ckpt=ckpts["wave"][0], stage1_time_ckpt=ckpts["time"][0],
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        run_pipeline(bad)

@@ -317,3 +317,21 @@ def test_chunk_to_warm_buckets(server):
         assert [sum(len(it.wf) for it in c) for c in chunks] == [128]
     finally:
         service._max_bucket = saved
+
+
+def test_warmup_ladder(server):
+    """warmup() accepts a bucket ladder: every distinct power-of-two bucket
+    gets one pre-compile request and the coalescing cap (_max_bucket) ends at
+    the ladder's top, so burst groups can span the full warm range."""
+    _, service = server
+    saved = service._max_bucket
+    before = service.requests
+    try:
+        service._max_bucket = 0
+        service.warmup([512, 600, 1024])  # 600 buckets to 1024: deduped
+        assert service._max_bucket == 1024
+        assert service.requests - before == 2  # 512 + 1024, not 3
+        service.warmup(0)  # legacy int form, 0 = no-op
+        assert service.requests - before == 2
+    finally:
+        service._max_bucket = max(saved, service._max_bucket)
