@@ -41,7 +41,6 @@ Reference counterpart: none — the reference trains one model per process
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass, field
 from typing import Any, Callable, List, Optional, Tuple
 

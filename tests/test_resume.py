@@ -127,3 +127,63 @@ def test_crashed_save_tmp_dir_is_not_a_resume_source(tmp_path):
     assert resumed is not None and resumed[0] == 0
     orbax_io.save_fit_state(d, 1, ts, {"best_val": 1.0, "best_epoch": 0, "wait": 0})
     assert not os.path.isdir(tmp_dir)  # reaped by the completed save
+
+
+@pytest.mark.slow
+def test_pipeline_resume_on_mesh_matches_uninterrupted(tmp_path):
+    """PIPELINE-level --resume composed with --dp-devices 8 --fsdp: crash
+    inside the stage-2 wave fit after one epoch, re-run with resume, and the
+    final accuracies + exported embeddings must equal the uninterrupted mesh
+    run (the stage-level analogue passes in test_device_fit.py; this covers
+    the driver composition — sidecars, AOT keys with shardings, tracker
+    flush threads — under sharding)."""
+    import pandas as pd
+
+    import hippie_tpu.train.pipeline as pl
+    from hippie_tpu.data import synth
+
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "cellexplorer-celltype", n=48, num_classes=3, seed=0)
+    synth.make_dataset(str(root), "neonatal-mouse-brain-slice", n=40, wave_width=49, seed=2)
+
+    def cfg(outdir, resume):
+        return pl.PipelineConfig(
+            z_dim=4, dataset="cellexplorer-celltype", data_root=str(root),
+            output_dir=str(tmp_path / outdir / "out"),
+            checkpoint_dir=str(tmp_path / outdir / "ck"),
+            batch_size=16, supervised_batch_size=16,
+            pretrain_max_epochs=2, finetune_max_epochs=2, supervised_max_epochs=2,
+            num_blocks=(1, 1, 1, 1), verbose=False,
+            dp_devices=8, fsdp=True, resume=resume,
+        )
+
+    full = pl.run_pipeline(cfg("full", resume=False))
+
+    calls = []
+    orig = pl._fit_unimodal_stage
+
+    def crashing(*a, **kw):
+        calls.append(1)
+        if len(calls) == 3:  # stage-2 wave: run ONE epoch, then "crash"
+            orig(*a, **{**kw, "max_epochs": 1})
+            raise KeyboardInterrupt
+        return orig(*a, **kw)
+
+    pl._fit_unimodal_stage = crashing
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            pl.run_pipeline(cfg("resumed", resume=True))
+    finally:
+        pl._fit_unimodal_stage = orig
+
+    resumed = pl.run_pipeline(cfg("resumed", resume=True))
+
+    for kind in ("waveform", "isi", "joint"):
+        assert (resumed["best"][kind]["balanced_accuracy"]
+                == full["best"][kind]["balanced_accuracy"])
+        assert resumed["best"][kind]["k"] == full["best"][kind]["k"]
+        a = pd.read_csv(tmp_path / "full" / "out"
+                        / f"cellexplorer-celltype_{kind}_embeddings.csv")
+        b = pd.read_csv(tmp_path / "resumed" / "out"
+                        / f"cellexplorer-celltype_{kind}_embeddings.csv")
+        pd.testing.assert_frame_equal(a, b)
