@@ -256,7 +256,13 @@ def fit_ensemble(
             best_params = select_best(imp, base_p, eval_p)
             best_bn = select_best(imp, base_bn, ts.bn_state)
         best_epoch = np.where(improved, epoch, best_epoch)
-        best_val = np.minimum(best_val, vl)
+        # where(), not minimum(): a transient non-finite val epoch (a high-lr
+        # replica passing through an inf/nan loss it later recovers from) must
+        # not poison the best tracker — nan fails the `<` test above, whereas
+        # np.minimum would propagate it forever. Matches the device loop's
+        # jnp.where select (observed live: a TPU lr=0.01 replica hit one nan
+        # val epoch, recovered to 0.013, and minimum() had frozen its best).
+        best_val = np.where(improved, vl, best_val)
         wait = np.where(improved, 0, wait + 1)
         epochs_run = epoch + 1
         if verbose:

@@ -153,6 +153,53 @@ def have_exec_serialization() -> bool:
         return False
 
 
+def _args_device_span(args) -> int:
+    """Widest device footprint across the call's array args (1 for a
+    single-device program, the mesh size for a sharded one)."""
+    span = 1
+    for leaf in jax.tree_util.tree_leaves(args):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None:
+            try:
+                span = max(span, len(sh.device_set))
+            except Exception:
+                pass
+    return span
+
+
+def _exec_roundtrip_safe(args) -> bool:
+    """False where serialize_executable is known NOT to round-trip across
+    processes: XLA:CPU loads a deserialized executable as a PORTABLE
+    executable onto EVERY local device, so a program compiled for fewer
+    devices than the platform exposes (a single-device program under
+    --xla_force_host_platform_device_count=8, say) demands one arg shard
+    per local device at execute time ("Expected args to
+    execute_sharded_on_local_devices to have 8 shards, got: [1, ...]").
+    Reproduced minimally with jit(x+1): the writer process runs fine,
+    every later process fails at execute. A program spanning ALL local
+    devices (the dp fit programs) round-trips correctly. For the broken
+    combination the StableHLO fallback is used instead — placement-free,
+    and its re-compile lands in the persistent XLA compile cache, so later
+    processes still skip the expensive backend compile."""
+    if jax.default_backend() != "cpu" or jax.local_device_count() == 1:
+        return True
+    return _args_device_span(args) == jax.local_device_count()
+
+
+def _loaded_matches_args(loaded, args) -> bool:
+    """Sanity-check a DISK-loaded executable against the current call: its
+    device footprint must match the args'. A mismatch means the entry was
+    written under a different topology (or hit the portable-load quirk
+    above) and would fail — or worse, misplace — at execute time; treat it
+    as stale. Probes private jax structure, so any probe failure counts as
+    a match (fall back to trusting the key)."""
+    try:
+        n_exec = len(loaded._executable.xla_executable.local_devices())
+    except Exception:
+        return True
+    return n_exec == _args_device_span(args)
+
+
 _EXEC_MEMO: dict = {}  # path -> loaded compiled callable (per process)
 
 _UNWRITABLE_WARNED: set = set()  # aot dirs already reported unusable
@@ -231,22 +278,15 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
     _prune_stale(aot_dir, rev)
     key = cache_key(args, static_desc)
 
-    if have_exec_serialization():
+    if have_exec_serialization() and _exec_roundtrip_safe(args):
         import pickle
 
         from jax.experimental.serialize_executable import (
             deserialize_and_load, serialize)
 
         path = os.path.join(aot_dir, f"prog_{rev}_{key}.jexec")
-        loaded = _EXEC_MEMO.get(path)
-        if loaded is None and os.path.exists(path):
-            try:
-                with open(path, "rb") as f:
-                    payload, in_tree, out_tree = pickle.load(f)
-                loaded = deserialize_and_load(payload, in_tree, out_tree)
-            except Exception:
-                loaded = None  # stale/corrupt/foreign-topology: recompile
-        if loaded is None:
+
+        def compile_and_store():
             compiled = fn.lower(*args, **lower_kwargs).compile()
             tmp = f"{path}.tmp.{os.getpid()}"
             try:
@@ -257,9 +297,36 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
                 # backend can't serialize executables: still run compiled
                 if os.path.exists(tmp):
                     os.unlink(tmp)
-            loaded = compiled
+            _EXEC_MEMO[path] = compiled
+            return compiled
+
+        loaded = _EXEC_MEMO.get(path)
+        from_disk = False
+        if loaded is None and os.path.exists(path):
+            try:
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                loaded = deserialize_and_load(payload, in_tree, out_tree)
+                if not _loaded_matches_args(loaded, args):
+                    loaded = None  # foreign topology: recompile + overwrite
+                else:
+                    from_disk = True
+            except Exception:
+                loaded = None  # stale/corrupt/foreign-topology: recompile
+        if loaded is None:
+            return compile_and_store()(*args)
         _EXEC_MEMO[path] = loaded
-        return loaded(*args)
+        if not from_disk:
+            return loaded(*args)
+        try:
+            return loaded(*args)
+        except Exception:
+            # The entry deserialized and passed the footprint probe yet still
+            # refused the args (foreign shardings under a colliding key, or a
+            # placement quirk the probe can't see). First use after a disk
+            # load only: recompile, overwrite, rerun — a failure here would
+            # otherwise wedge every later process on this machine.
+            return compile_and_store()(*args)
 
     # ---- fallback: jax.export StableHLO artifact --------------------------
     # The exported-artifact path does not carry multi-device shardings (the

@@ -184,7 +184,18 @@ def main(argv=None):
             seed=args.seed, verbose=True,
         )
 
-    best_k = int(np.argmin(res.best_val_loss))
+    # A replica that never logged a finite best (diverged-at-val, or inf from
+    # never improving) must not win: np.argmin would return the first nan.
+    finite = np.isfinite(res.best_val_loss)
+    if not finite.any():
+        print(json.dumps({
+            "dataset": args.dataset, "modality": args.modality,
+            "mode": args.mode, "configs": labels, "lrs": lrs,
+            "best_val_loss": [float(x) for x in res.best_val_loss],
+            "error": "no replica produced a finite validation loss",
+        }))
+        raise SystemExit("lr-sweep: no replica produced a finite validation loss")
+    best_k = int(np.argmin(np.where(finite, res.best_val_loss, np.inf)))
     print(f"\n{'config':>18} {'best val':>12} {'best epoch':>10}")
     for k in range(K):
         mark = " <- best" if k == best_k else ""

@@ -145,6 +145,44 @@ def test_fit_ensemble_tracks_per_replica_best(setup):
     assert np.all(np.isfinite(np.asarray(vms.loss)))
 
 
+def test_fit_ensemble_transient_nan_val_does_not_poison_best(setup):
+    """A replica whose VAL loss transiently goes non-finite (high-lr
+    exploration it later recovers from — observed live on TPU at lr=0.01)
+    must not freeze its best tracker: np.minimum propagates nan forever,
+    where(improved) skips it (the device loop's semantics)."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    ts = _init(cfg, tx, K)
+    e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=1.0)
+
+    def run_val(s, key, e):
+        m = e_eval(s.params, s.bn_state, data, source, class_, idx, mask, key)
+        if e == 1:  # replica 0 diverges at val for one epoch only
+            m = m._replace(loss=m.loss.at[:, 0].set(jnp.nan))
+        return m
+
+    res = ensemble.fit_ensemble(
+        ts,
+        run_train_epoch=lambda s, key, e: e_train(s, data, source, class_, idx, mask, key),
+        run_val_epoch=run_val,
+        max_epochs=4, early_stopping_patience=None, seed=5)
+
+    assert res.epochs_run == 4
+    vl = np.stack(res.val_losses)  # [4, K], row 1 col 0 is nan
+    assert np.isnan(vl[1, 0]) and np.isfinite(vl[[0, 2, 3], 0]).all()
+    # replica 0's best is the min over its FINITE epochs, not nan
+    fin = vl[[0, 2, 3], 0]
+    assert np.isfinite(res.best_val_loss).all()
+    np.testing.assert_allclose(res.best_val_loss[0], fin.min(), rtol=1e-6)
+    assert int(res.best_epoch[0]) == [0, 2, 3][int(np.argmin(fin))]
+    # the snapshot reproduces the recorded best, so it was never overwritten
+    # by the nan epoch's params
+    np.testing.assert_allclose(
+        res.best_val_loss[1],
+        vl[int(res.best_epoch[1]), 1], rtol=1e-6)
+
+
 def test_device_fit_ensemble_matches_host(setup):
     """The whole-sweep-on-device loop follows the host fit_ensemble
     trajectory when the host is driven on the canonical bucketed plan

@@ -23,12 +23,20 @@ def synth_root(tmp_path_factory):
     return str(root)
 
 
-def test_lr_mode_zero_lr_loses(synth_root, capsys):
+@pytest.fixture(scope="module")
+def aot_dir(tmp_path_factory):
+    # Never the default ~/.cache dir: tests must not read entries written by
+    # other processes (a real-TPU run, another suite) or leave entries behind.
+    return str(tmp_path_factory.mktemp("sweepaot"))
+
+
+def test_lr_mode_zero_lr_loses(synth_root, aot_dir, capsys):
     m = _load_module()
     rc = m.main([
         "--dataset", "sweep-synth", "--data-root", synth_root, "--pool", "self",
         "--modality", "wave", "--lrs", "0,3e-3", "--max-epochs", "3",
         "--batch-size", "16", "--num-blocks", "1,1,1,1", "--z-dim", "4",
+        "--aot-dir", aot_dir,
     ])
     assert rc == 0
     out = capsys.readouterr().out
@@ -39,13 +47,14 @@ def test_lr_mode_zero_lr_loses(synth_root, capsys):
     assert len(rec["configs"]) == 2
 
 
-def test_seeds_mode_runs(synth_root, capsys):
+def test_seeds_mode_runs(synth_root, aot_dir, capsys):
     m = _load_module()
     rc = m.main([
         "--dataset", "sweep-synth", "--data-root", synth_root, "--pool", "self",
         "--modality", "time", "--mode", "seeds", "--n-seeds", "2",
         "--lr", "1e-3", "--max-epochs", "2", "--batch-size", "16",
         "--num-blocks", "1,1,1,1", "--z-dim", "4",
+        "--aot-dir", aot_dir,
     ])
     assert rc == 0
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -53,6 +62,52 @@ def test_seeds_mode_runs(synth_root, capsys):
     assert len(rec["best_val_loss"]) == 2
     # independent seeds: the two replicas trained to different losses
     assert rec["best_val_loss"][0] != rec["best_val_loss"][1]
+
+
+def test_winner_skips_nonfinite_best(synth_root, capsys, monkeypatch):
+    """A replica with a nan/inf best val loss (diverged at val) must never be
+    declared the winner — np.argmin alone would return the first nan (seen
+    live on TPU: winner lr=0.01 with best_val nan)."""
+    import dataclasses
+
+    import numpy as np
+
+    from hippie_tpu.train import ensemble as ens
+
+    m = _load_module()
+    orig = ens.device_fit_ensemble
+
+    def poisoned(*a, **kw):
+        res = orig(*a, **kw)
+        bv = np.asarray(res.best_val_loss).copy()
+        bv[0] = np.nan  # first (lowest-index) replica: argmin's nan trap
+        return dataclasses.replace(res, best_val_loss=bv)
+
+    monkeypatch.setattr(ens, "device_fit_ensemble", poisoned)
+    rc = m.main([
+        "--dataset", "sweep-synth", "--data-root", synth_root, "--pool", "self",
+        "--modality", "wave", "--lrs", "1e-2,3e-3", "--max-epochs", "2",
+        "--batch-size", "16", "--num-blocks", "1,1,1,1", "--z-dim", "4",
+        "--aot-dir", "",
+    ])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["winner_lr"] == 3e-3  # the finite replica wins
+
+    def all_nan(*a, **kw):
+        res = orig(*a, **kw)
+        bv = np.full_like(np.asarray(res.best_val_loss), np.nan)
+        return dataclasses.replace(res, best_val_loss=bv)
+
+    monkeypatch.setattr(ens, "device_fit_ensemble", all_nan)
+    with pytest.raises(SystemExit, match="finite"):
+        m.main([
+            "--dataset", "sweep-synth", "--data-root", synth_root,
+            "--pool", "self", "--modality", "wave", "--lrs", "1e-2,3e-3",
+            "--max-epochs", "2", "--batch-size", "16",
+            "--num-blocks", "1,1,1,1", "--z-dim", "4", "--aot-dir", "",
+        ])
+    capsys.readouterr()
 
 
 def test_export_winner_feeds_pipeline(tmp_path, capsys):
