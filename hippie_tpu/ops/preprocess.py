@@ -57,3 +57,44 @@ def preprocess_pair(wf, isi, *, normalize: bool = False):
         preprocess_waveforms(wf, normalize=normalize),
         preprocess_isi(isi, normalize=normalize),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def preprocess_pair_padded(wf, isi, R_wf, R_isi, wf_width, isi_width, *,
+                           normalize: bool = False):
+    """Width-agnostic preprocess_pair for serving.
+
+    ``wf``/``isi`` are zero-padded on the width axis to fixed caps
+    ([N, W_cap] / [N, I_cap]); the resample coefficients ride in as traced
+    arguments (resample.padded_interp_matrix, zero rows beyond the true
+    width) and ``wf_width``/``isi_width`` are traced int32 scalars. One
+    compiled program therefore covers EVERY raw request width <= the caps —
+    without this, the serving warmup ladder only pre-compiled its own raw
+    widths and the first live request of any other width stalled ~80 s
+    behind a fresh remote compile (measured, RESULTS.md round 4).
+
+    Padded tail columns must be finite (the server pads with zeros); the
+    zero coefficient rows remove them from every output, and normalize
+    statistics are masked to the true widths. Agrees with the exact-width
+    preprocess_pair to fp32 rounding (reduction-tree order differs;
+    tests/test_preprocess.py pins the tolerance).
+    """
+    wf = jnp.asarray(wf, jnp.float32)
+    isi = jnp.asarray(isi, jnp.float32)
+    if normalize:
+        wmask = jnp.arange(wf.shape[1])[None, :] < wf_width
+        mn = jnp.min(jnp.where(wmask, wf, jnp.inf), axis=1, keepdims=True)
+        mx = jnp.max(jnp.where(wmask, wf, -jnp.inf), axis=1, keepdims=True)
+        wf = ((wf - mn) / (mx - mn)) * 2.0 - 1.0
+    wave = jnp.matmul(wf, R_wf, preferred_element_type=jnp.float32)
+
+    li = jnp.log(isi + 1.0)
+    if normalize:
+        imask = jnp.arange(li.shape[1])[None, :] < isi_width
+        n = jnp.asarray(isi_width, jnp.float32)
+        mean = jnp.sum(jnp.where(imask, li, 0.0), axis=1, keepdims=True) / n
+        var = jnp.sum(jnp.where(imask, jnp.square(li - mean), 0.0),
+                      axis=1, keepdims=True) / (n - 1.0)
+        li = (li - mean) / jnp.sqrt(var)
+    time = jnp.matmul(li, R_isi, preferred_element_type=jnp.float32)
+    return wave, time

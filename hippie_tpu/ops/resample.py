@@ -40,6 +40,23 @@ def interp_matrix(in_len: int, out_len: int, dtype=np.float32) -> np.ndarray:
     return R.astype(dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def padded_interp_matrix(in_len: int, out_len: int, cap: int,
+                         dtype=np.float32) -> np.ndarray:
+    """interp_matrix(in_len, out_len) zero-padded to [cap, out_len] rows.
+
+    Lets one compiled program resample ANY raw width <= cap: the input rows
+    are zero-padded to cap columns and the width-specific coefficients ride
+    in as a traced argument, so XLA sees one fixed [N, cap] @ [cap, out_len]
+    matmul per row bucket instead of one program per raw width (the serving
+    path's first-request compile stall)."""
+    if in_len > cap:
+        raise ValueError(f"in_len {in_len} exceeds padded width cap {cap}")
+    R = np.zeros((cap, out_len), dtype=dtype)
+    R[:in_len] = interp_matrix(in_len, out_len, dtype)
+    return R
+
+
 def resample_linear(x, out_len: int):
     """Resample [..., L] -> [..., out_len] with torch-linear coefficients."""
     in_len = x.shape[-1]

@@ -81,6 +81,15 @@ def build_parser():
     parser.add_argument("--warmup-rows", type=int, default=None,
                         help="legacy single-bucket warmup: >0 adds that bucket to the "
                              "ladder; 0 disables ALL warmup (including the ladder)")
+    parser.add_argument("--max-wave-width", type=int, default=256,
+                        help="raw waveform width cap for the width-agnostic preprocess "
+                             "program: requests up to this wide reuse ONE compiled "
+                             "program per row bucket (padded rows + traced resample "
+                             "coefficients), so the warmup ladder covers them no matter "
+                             "their raw width. Wider requests fall back to a per-width "
+                             "compile. 0 disables (always per-width)")
+    parser.add_argument("--max-isi-width", type=int, default=512,
+                        help="raw ISI width cap (see --max-wave-width)")
     return parser
 
 
@@ -114,7 +123,8 @@ class EmbeddingService:
     def __init__(self, wave_ckpt=None, time_ckpt=None, *, z_dim: int,
                  num_sources: int = 5, num_classes: int = 5,
                  wave_artifact=None, time_artifact=None,
-                 joint_ckpt=None, joint_artifact=None):
+                 joint_ckpt=None, joint_artifact=None,
+                 max_wave_width: int = 256, max_isi_width: int = 512):
         from hippie_tpu.utils.cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -123,6 +133,10 @@ class EmbeddingService:
 
         self._lock = threading.Lock()
         self.z_dim = z_dim
+        # Width caps for the width-agnostic preprocess program (see
+        # ops/preprocess.preprocess_pair_padded); 0 disables.
+        self.max_wave_width = int(max_wave_width)
+        self.max_isi_width = int(max_isi_width)
         self.requests = 0
         self.rows_embedded = 0
         self.total_latency = 0.0
@@ -304,25 +318,47 @@ class EmbeddingService:
         from hippie_tpu.evaluate.embeddings import _bucket
         from hippie_tpu.ops import preprocess
 
+        from hippie_tpu.ops.resample import padded_interp_matrix
+
         counts = [len(it.wf) for it in items]
         n = sum(counts)
         b = _bucket(n)
-        wf_p = np.zeros((b, items[0].wf.shape[1]), np.float32)
-        isi_p = np.zeros((b, items[0].isi.shape[1]), np.float32)
+        w_raw = items[0].wf.shape[1]
+        i_raw = items[0].isi.shape[1]
+        # Width-agnostic path: pad raw widths to the caps and pass the
+        # width-specific resample coefficients as a traced argument, so one
+        # compiled program per row bucket serves EVERY raw width <= the caps
+        # (the warmup ladder then genuinely covers first requests; without
+        # this the ladder only warmed its own widths and a live client's
+        # first off-width request stalled behind a fresh remote compile).
+        padded = (0 < w_raw <= self.max_wave_width
+                  and 0 < i_raw <= self.max_isi_width)
+        w_cols = self.max_wave_width if padded else w_raw
+        i_cols = self.max_isi_width if padded else i_raw
+        wf_p = np.zeros((b, w_cols), np.float32)
+        isi_p = np.zeros((b, i_cols), np.float32)
         src_p = np.zeros((b,), np.int32)
         off = 0
         for it, c in zip(items, counts):
-            wf_p[off:off + c] = it.wf
-            isi_p[off:off + c] = it.isi
+            wf_p[off:off + c, :w_raw] = it.wf
+            isi_p[off:off + c, :i_raw] = it.isi
             src_p[off:off + c] = int(it.source)
             off += c
         normalize = items[0].normalize
-        # preprocess_pair is the JITTED entry (ONE dispatch); the per-op
+        # preprocess_pair* is the JITTED entry (ONE dispatch); the per-op
         # functions would run eagerly — multiple ~65 ms round trips per
         # request on the remote-attached chip.
-        wave, isi = preprocess.preprocess_pair(
-            jnp.asarray(wf_p), jnp.asarray(isi_p), normalize=normalize
-        )
+        if padded:
+            wave, isi = preprocess.preprocess_pair_padded(
+                jnp.asarray(wf_p), jnp.asarray(isi_p),
+                jnp.asarray(padded_interp_matrix(w_raw, preprocess.WAVE_LEN, w_cols)),
+                jnp.asarray(padded_interp_matrix(i_raw, preprocess.ISI_LEN, i_cols)),
+                jnp.int32(w_raw), jnp.int32(i_raw), normalize=normalize,
+            )
+        else:
+            wave, isi = preprocess.preprocess_pair(
+                jnp.asarray(wf_p), jnp.asarray(isi_p), normalize=normalize
+            )
         src = jnp.asarray(src_p)
         if self.mode == "joint":
             j = np.asarray(jax.device_get(self._embed_fns["joint"](wave, isi, src)))
@@ -474,6 +510,18 @@ def make_handler(service: EmbeddingService):
     return Handler
 
 
+class EmbeddingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for client bursts.
+
+    The stdlib default request_queue_size is 5: a 16-client barrier burst
+    overflows the accept queue and the kernel RESETs the excess connections
+    (measured: 2/16 clients got ECONNRESET before any request was read).
+    """
+
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     service = EmbeddingService(
@@ -481,6 +529,7 @@ def main(argv=None):
         z_dim=args.z_dim, num_sources=args.num_sources, num_classes=args.num_classes,
         wave_artifact=args.wave_artifact, time_artifact=args.time_artifact,
         joint_ckpt=args.joint_checkpoint, joint_artifact=args.joint_artifact,
+        max_wave_width=args.max_wave_width, max_isi_width=args.max_isi_width,
     )
     ladder = [int(x) for x in args.warmup_buckets.split(",") if x.strip()] \
         if args.warmup_buckets else []
@@ -490,7 +539,7 @@ def main(argv=None):
     if ladder:
         print(f"warming up buckets {sorted(set(ladder))}...")
         service.warmup(ladder)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    server = EmbeddingHTTPServer((args.host, args.port), make_handler(service))
     print(f"serving {service.mode} embeddings on http://{args.host}:{args.port} (POST /embed)")
     try:
         server.serve_forever()

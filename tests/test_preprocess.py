@@ -64,3 +64,41 @@ def test_interp_matrix_rows_sum_to_one():
     for in_len, out_len in [(47, 50), (10, 100), (352, 50)]:
         R = resample.interp_matrix(in_len, out_len)
         np.testing.assert_allclose(R.sum(axis=0), np.ones(out_len), rtol=1e-6)
+
+
+@pytest.mark.parametrize("normalize", [False, True])
+def test_preprocess_pair_padded_matches_exact(normalize):
+    """The serving width-agnostic program (zero-padded rows + traced resample
+    coefficients + masked normalize stats) must agree with the exact-width
+    preprocess_pair for every raw width under the caps — this is what lets
+    the serving warmup ladder cover first requests of ANY raw width with one
+    compiled program per row bucket."""
+    import jax.numpy as jnp
+
+    w_cap, i_cap = 64, 128
+    rng = np.random.default_rng(7)
+    for w_raw, i_raw in [(41, 91), (46, 100), (50, 80), (64, 128)]:
+        wf = rng.normal(size=(6, w_raw)).astype(np.float32)
+        isi = np.abs(rng.normal(size=(6, i_raw))).astype(np.float32)
+        want_w, want_i = preprocess.preprocess_pair(
+            jnp.asarray(wf), jnp.asarray(isi), normalize=normalize)
+
+        wf_p = np.zeros((6, w_cap), np.float32)
+        isi_p = np.zeros((6, i_cap), np.float32)
+        wf_p[:, :w_raw], isi_p[:, :i_raw] = wf, isi
+        got_w, got_i = preprocess.preprocess_pair_padded(
+            jnp.asarray(wf_p), jnp.asarray(isi_p),
+            jnp.asarray(resample.padded_interp_matrix(w_raw, 50, w_cap)),
+            jnp.asarray(resample.padded_interp_matrix(i_raw, 100, i_cap)),
+            jnp.int32(w_raw), jnp.int32(i_raw), normalize=normalize,
+        )
+        # reduction-tree order differs (padded width axis): fp32 rounding only
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_padded_interp_matrix_validates_cap():
+    with pytest.raises(ValueError):
+        resample.padded_interp_matrix(100, 50, 64)

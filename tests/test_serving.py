@@ -319,6 +319,34 @@ def test_chunk_to_warm_buckets(server):
         service._max_bucket = saved
 
 
+def test_width_agnostic_preprocess_program(server):
+    """Requests of different raw widths (under the caps) must reuse ONE
+    compiled preprocess program per row bucket — the warmup ladder then
+    covers first requests regardless of raw width — and their embeddings
+    must match the exact-width library path."""
+    from hippie_tpu.ops import preprocess
+
+    _, service = server
+    assert service.max_wave_width > 0 and service.max_isi_width > 0
+    rng = np.random.default_rng(11)
+
+    wf_a = rng.normal(size=(4, 41)).astype(np.float32)
+    isi_a = np.abs(rng.normal(size=(4, 91))).astype(np.float32)
+    w_a, _, _, _ = service.embed(wf_a, isi_a, 0, False)  # compiles the padded program
+
+    n_cache = preprocess.preprocess_pair_padded._cache_size()
+    wf_b = rng.normal(size=(4, 33)).astype(np.float32)
+    isi_b = np.abs(rng.normal(size=(4, 77))).astype(np.float32)
+    w, i, j, _ = service.embed(wf_b, isi_b, 1, False)
+    # a different raw width did NOT trigger a new compile
+    assert preprocess.preprocess_pair_padded._cache_size() == n_cache
+    assert np.asarray(w).shape == (4, service.z_dim)
+    assert np.asarray(j).shape == (4, 2 * service.z_dim)
+    assert np.all(np.isfinite(np.asarray(j)))
+    # widths key the coalescing groups, so mixed-width replies can't mix rows
+    assert not np.allclose(np.asarray(w_a), np.asarray(w))
+
+
 def test_warmup_ladder(server):
     """warmup() accepts a bucket ladder: every distinct power-of-two bucket
     gets one pre-compile request and the coalescing cap (_max_bucket) ends at
