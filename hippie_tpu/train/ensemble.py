@@ -78,6 +78,16 @@ def init_unimodal_ensemble(key, cfg: cvae.CVAEConfig, tx, n: int) -> TrainState:
     return TrainState(params, bn, opt_state)
 
 
+def init_multimodal_ensemble(key, cfg: cvae.MultiModalConfig, tx, n: int) -> TrainState:
+    """K independently-initialized joint-model replicas (multimodal twin of
+    ``init_unimodal_ensemble``); replica k equals ``multimodal_cvae_init``
+    with split key k."""
+    keys = jax.random.split(key, n)
+    params, bn = jax.vmap(lambda k: cvae.multimodal_cvae_init(k, cfg))(keys)
+    opt_state = jax.vmap(tx.init)(params)
+    return TrainState(params, bn, opt_state)
+
+
 def set_ensemble_lr(opt_state, lrs):
     """Give each replica its own learning rate (lr sweep in one program).
 
@@ -111,6 +121,20 @@ def set_ensemble_lr(opt_state, lrs):
     return new_state
 
 
+def _step_keys(rng, nb, k):
+    """Per-(batch, replica) key grid, [nb, K, 2].
+
+    SHARED by the host epoch fns and the device whole-fit program: their
+    trajectory parity (tests/test_ensemble.py) rests on both deriving the
+    exact same key stream, so there must be exactly one copy of this
+    derivation. split(rng, n) is prefix-stable in n, which is what lets the
+    device loop's nb_pad-sized split agree with the host's real-batch split.
+    """
+    rkeys = jax.random.split(rng, k)
+    keys = jax.vmap(lambda r: jax.random.split(r, nb))(rkeys)  # [K, nb, 2]
+    return jnp.swapaxes(keys, 0, 1)  # [nb, K, 2]
+
+
 def make_unimodal_ensemble_epoch_fns(
     tx,
     *,
@@ -134,11 +158,6 @@ def make_unimodal_ensemble_epoch_fns(
     )
     v_train = jax.vmap(batch_step, in_axes=(0, None, None, None, None, 0))
     v_eval = jax.vmap(eval_step, in_axes=(0, 0, None, None, None, None, 0))
-
-    def _step_keys(rng, nb, k):
-        rkeys = jax.random.split(rng, k)
-        keys = jax.vmap(lambda r: jax.random.split(r, nb))(rkeys)  # [K, nb, 2]
-        return jnp.swapaxes(keys, 0, 1)  # [nb, K, 2]
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_epoch(ts: TrainState, data, source, class_, idx, mask, rng):
@@ -296,7 +315,7 @@ def fit_ensemble(
 
 def _build_ensemble_fit(batch_step, eval_step, *, n_rep: int, shuffle: bool,
                         batch_size: int, nb_pad: int, use_class_labels: bool,
-                        eval_params_fn=None):
+                        eval_params_fn=None, n_arrays: int = 1):
     """The jitted whole-ensemble-fit program.
 
     ``batch_step``/``eval_step`` are the UNVMAPPED single-model steps from
@@ -310,14 +329,13 @@ def _build_ensemble_fit(batch_step, eval_step, *, n_rep: int, shuffle: bool,
     """
     from hippie_tpu.data.device_data import epoch_shuffle_order, plan_pad_duplicate
 
-    v_train = jax.vmap(batch_step, in_axes=(0, None, None, None, None, 0))
-    v_eval = jax.vmap(eval_step, in_axes=(0, 0, None, None, None, None, 0))
+    # One in_axes entry per data array (multimodal steps take (b1, b2, ...)):
+    # replica axis on state/key only, batch operands broadcast across replicas.
+    v_train = jax.vmap(batch_step,
+                       in_axes=(0,) + (None,) * (n_arrays + 3) + (0,))
+    v_eval = jax.vmap(eval_step,
+                      in_axes=(0, 0) + (None,) * (n_arrays + 3) + (0,))
     nbB = nb_pad * batch_size
-
-    def _step_keys(rng, nb, k):
-        rkeys = jax.random.split(rng, k)
-        keys = jax.vmap(lambda r: jax.random.split(r, nb))(rkeys)  # [K, nb, 2]
-        return jnp.swapaxes(keys, 0, 1)  # [nb, K, 2]
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def fit(carry, arrays, source, class_, stream_p, n_real, t_nb,
@@ -486,6 +504,7 @@ def device_fit_ensemble(
         batch_step, eval_step, n_rep=k, shuffle=shuffle,
         batch_size=batch_size, nb_pad=nb_pad,
         use_class_labels=use_class_labels, eval_params_fn=eval_params_fn,
+        n_arrays=len(arrays),
     )
     e_pad = device_data.next_pow2(max_epochs, minimum=8)
     buf = jnp.full((e_pad, 2, k), jnp.nan, jnp.float32)

@@ -155,9 +155,11 @@ class PipelineConfig:
     # into stages 2-3 (the reference's reload-best-then-continue contract,
     # train_model.py:160-163, with the reload coming from a sweep instead of
     # the stage-1 fit). Geometry must match this pipeline's stage-1 config.
-    # Unimodal pipeline only.
+    # stage1_{wave,time}_ckpt: unimodal pipeline; stage1_joint_ckpt: the
+    # multimodal pipeline's equivalent (lr-sweep --modality joint winner).
     stage1_wave_ckpt: Optional[str] = None
     stage1_time_ckpt: Optional[str] = None
+    stage1_joint_ckpt: Optional[str] = None
 
 
 # Jitted model inits: a single compiled call instead of hundreds of eager ops
@@ -1111,40 +1113,63 @@ def _run_multimodal_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
     root = jax.random.PRNGKey(cfg.seed)
     num_sources = registry.NUM_SOURCES
 
-    pool = load_pretrain_pool(cfg)
-    tr_idx, va_idx = train_val_split(len(pool), cfg.train_val_split, jax.random.fold_in(root, 0))
-
     mm_cfg = cvae.MultiModalConfig(
         z_dim=cfg.z_dim, class_hidden_dim=cfg.class_hidden_dim,
         num_sources=num_sources, num_classes=5, num_blocks=tuple(cfg.num_blocks),
     )
     template = _ordering_template(mm_cfg, multimodal=True)
-    params, bn = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
-    tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
-    ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
     tracker = BestTracker(os.path.join(cfg.checkpoint_dir, f"{cfg.dataset}_joint_model.ckpt"))
 
-    if cfg.verbose:
-        print(f"[stage 1] pretraining joint model ({cvae.param_count(params):,} params)")
-    with timer.stage("pretrain_joint"):
-        result = _fit_multimodal_stage(
-            cfg=cfg, ts=ts, tx=tx, wave=pool.wave, isi=pool.isi, source=pool.source,
-            class_=pool.source, train_indices=tr_idx, val_indices=va_idx,
-            batch_size=cfg.batch_size, max_epochs=cfg.pretrain_max_epochs,
-            use_class_labels=False, shuffle_train=True, stage_seed=10,
-            resume_dir=_stage_resume_dir(cfg, "pretrain_joint"),
-            lr=cfg.learning_rate,
-            aot_extra=f"clip={cfg.gradient_clip_val}",
+    if cfg.stage1_joint_ckpt:
+        # Sweep->pipeline seam, joint flavor: skip the pool ingest AND the
+        # stage-1 fit, seed stages 2-3 from the checkpoint's weights
+        # (lr-sweep --modality joint --export-winner, or any joint Lightning
+        # ckpt). Mirrors the unimodal stage1_{wave,time}_ckpt path.
+        from hippie_tpu import export as export_mod
+
+        with timer.stage("load_stage1_joint"):
+            lp, lbn, lcfg = export_mod.load_model_from_ckpt(
+                cfg.stage1_joint_ckpt, multimodal=True, fallback_config=mm_cfg)
+        if tuple(lcfg) != tuple(mm_cfg):
+            raise ValueError(
+                f"--stage1-joint-ckpt geometry {lcfg} does not match this "
+                f"pipeline's stage-1 config {mm_cfg}; re-run the sweep with "
+                "matching --z-dim/--num-blocks")
+        tracker.best_params, tracker.best_bn = lp, lbn
+        state = step.TrainState(lp, lbn, None)
+        prev_opt = None
+        if cfg.verbose:
+            print(f"[stage 1] joint model seeded from {cfg.stage1_joint_ckpt} "
+                  "(fit skipped)")
+    else:
+        with timer.stage("load_pool"):
+            pool = load_pretrain_pool(cfg)
+        tr_idx, va_idx = train_val_split(len(pool), cfg.train_val_split, jax.random.fold_in(root, 0))
+        params, bn = _init_multimodal(jax.random.fold_in(root, 100), mm_cfg)
+        tx = optim.make_optimizer(cfg.learning_rate, cfg.weight_decay, cfg.gradient_clip_val, state_dtype=cfg.opt_state_dtype, algorithm=cfg.optimizer)
+        ts = step.TrainState(params, bn, jax.jit(tx.init)(params))
+
+        if cfg.verbose:
+            print(f"[stage 1] pretraining joint model ({cvae.param_count(params):,} params)")
+        with timer.stage("pretrain_joint"):
+            result = _fit_multimodal_stage(
+                cfg=cfg, ts=ts, tx=tx, wave=pool.wave, isi=pool.isi, source=pool.source,
+                class_=pool.source, train_indices=tr_idx, val_indices=va_idx,
+                batch_size=cfg.batch_size, max_epochs=cfg.pretrain_max_epochs,
+                use_class_labels=False, shuffle_train=True, stage_seed=10,
+                resume_dir=_stage_resume_dir(cfg, "pretrain_joint"),
+                lr=cfg.learning_rate,
+                aot_extra=f"clip={cfg.gradient_clip_val}",
+            )
+        tracker.update_from_fit(result, template, (cfg.learning_rate, cfg.weight_decay))
+        # Fallback to the last state for the max_epochs=0 edge (tracker empty),
+        # mirroring the unimodal stage-1 guard.
+        state = step.TrainState(
+            tracker.best_params if tracker.best_params is not None else result.state.params,
+            tracker.best_bn if tracker.best_bn is not None else result.state.bn_state,
+            None,
         )
-    tracker.update_from_fit(result, template, (cfg.learning_rate, cfg.weight_decay))
-    # Fallback to the last state for the max_epochs=0 edge (tracker empty),
-    # mirroring the unimodal stage-1 guard.
-    state = step.TrainState(
-        tracker.best_params if tracker.best_params is not None else result.state.params,
-        tracker.best_bn if tracker.best_bn is not None else result.state.bn_state,
-        None,
-    )
-    prev_opt = tracker.best_opt if tracker.best_params is not None else result.best_opt_state
+        prev_opt = tracker.best_opt if tracker.best_params is not None else result.best_opt_state
 
     target = load_dataset(cfg, cfg.dataset, dropna=True)
     target_source_id = registry.DATASET_SOURCE_IDS.get(cfg.dataset, 0)
@@ -1314,6 +1339,10 @@ def run_pipeline(cfg: PipelineConfig) -> Dict[str, Any]:
         if cfg.stage1_wave_ckpt or cfg.stage1_time_ckpt:
             raise ValueError(
                 "--stage1-{wave,time}-ckpt seed the UNIMODAL pipeline's "
-                "stage 1; the multimodal pipeline trains one joint model")
+                "stage 1; the multimodal pipeline takes --stage1-joint-ckpt")
         return run_multimodal_pipeline(cfg)
+    if cfg.stage1_joint_ckpt:
+        raise ValueError(
+            "--stage1-joint-ckpt seeds the MULTIMODAL pipeline's stage 1; "
+            "the unimodal pipeline takes --stage1-{wave,time}-ckpt")
     return run_unimodal_pipeline(cfg)

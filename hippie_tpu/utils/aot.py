@@ -325,7 +325,16 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
             # refused the args (foreign shardings under a colliding key, or a
             # placement quirk the probe can't see). First use after a disk
             # load only: recompile, overwrite, rerun — a failure here would
-            # otherwise wedge every later process on this machine.
+            # otherwise wedge every later process on this machine. Recovery
+            # is only sound while the args are intact: if the failed execute
+            # got far enough to consume donated buffers (donate_argnums
+            # programs), re-lowering on deleted Arrays would raise a
+            # misleading secondary error — surface the original instead.
+            if any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree_util.tree_leaves(args)
+            ):
+                raise
             return compile_and_store()(*args)
 
     # ---- fallback: jax.export StableHLO artifact --------------------------

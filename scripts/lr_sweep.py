@@ -42,7 +42,11 @@ def build_parser():
     )
     p.add_argument("--dataset", required=True, help="target dataset name")
     p.add_argument("--data-root", default="datasets")
-    p.add_argument("--modality", choices=("wave", "time"), default="wave")
+    p.add_argument("--modality", choices=("wave", "time", "joint"), default="wave",
+                   help="wave/time: unimodal cVAE on one data array; joint: "
+                        "the MultiModalCVAE on paired (wave, isi) rows — its "
+                        "exported winner feeds train_model_with_multimodal "
+                        "--stage1-joint-ckpt")
     p.add_argument("--pool", choices=("pretrain", "self"), default="pretrain",
                    help="pretrain: leave-target-out pool (stage-1 contract); "
                         "self: the target dataset's own rows")
@@ -80,25 +84,30 @@ def build_parser():
     p.add_argument("--export-winner", default=None, metavar="CKPT",
                    help="write the winning replica as a Lightning stage-1 "
                         "checkpoint; feed it to the pipeline via "
-                        "train_model --stage1-{wave,time}-ckpt to train "
-                        "stages 2-3 from the swept winner")
+                        "train_model --stage1-{wave,time}-ckpt (or, for "
+                        "--modality joint, train_model_with_multimodal "
+                        "--stage1-joint-ckpt) to train stages 2-3 from the "
+                        "swept winner")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     clip_val = args.clip_val
-    if clip_val is None and args.modality == "time":
-        clip_val = 1.0  # reference Q7: time trainers clip, wave do not
+    if clip_val is None and args.modality in ("time", "joint"):
+        clip_val = 1.0  # reference Q7: time/multimodal trainers clip, wave does not
 
     cfg = pipeline.PipelineConfig(
         dataset=args.dataset, data_root=args.data_root, verbose=False,
     )
     ds = (pipeline.load_pretrain_pool(cfg) if args.pool == "pretrain"
           else pipeline.load_dataset(cfg, args.dataset))
-    data = ds.wave if args.modality == "wave" else ds.isi
-    out_size = int(data.shape[1])
-    n = int(data.shape[0])
+    joint = args.modality == "joint"
+    if joint:
+        arrays = (ds.wave, ds.isi)
+    else:
+        arrays = (ds.wave if args.modality == "wave" else ds.isi,)
+    n = int(arrays[0].shape[0])
 
     if n < 2:
         raise ValueError(f"need at least 2 rows to split train/val, got {n}")
@@ -115,11 +124,25 @@ def main(argv=None):
     # seeds stages 2-3 directly.
     from hippie_tpu.data import registry
 
-    cfg_m = cvae.CVAEConfig(
-        z_dim=args.z_dim, output_size=out_size,
-        num_sources=registry.NUM_SOURCES, num_classes=5,
-        num_blocks=tuple(int(x) for x in args.num_blocks.split(",")),
-    )
+    nb_cfg = tuple(int(x) for x in args.num_blocks.split(","))
+    if joint:
+        cfg_m = cvae.MultiModalConfig(
+            z_dim=args.z_dim,
+            output_size_wave=int(arrays[0].shape[1]),
+            output_size_isi=int(arrays[1].shape[1]),
+            num_sources=registry.NUM_SOURCES, num_classes=5,
+            num_blocks=nb_cfg,
+        )
+        init_one = cvae.multimodal_cvae_init
+        init_ens = ensemble.init_multimodal_ensemble
+    else:
+        cfg_m = cvae.CVAEConfig(
+            z_dim=args.z_dim, output_size=int(arrays[0].shape[1]),
+            num_sources=registry.NUM_SOURCES, num_classes=5,
+            num_blocks=nb_cfg,
+        )
+        init_one = cvae.unimodal_cvae_init
+        init_ens = ensemble.init_unimodal_ensemble
 
     if args.mode == "lr":
         lrs = [float(x) for x in args.lrs.split(",")]
@@ -127,7 +150,7 @@ def main(argv=None):
         labels = [f"lr={x:g}" for x in lrs]
         tx = optim.make_optimizer(lrs[0], args.weight_decay, clip_val=clip_val)
         # one shared init so only lr differs between replicas
-        p0, s0 = cvae.unimodal_cvae_init(jax.random.fold_in(root, 1), cfg_m)
+        p0, s0 = init_one(jax.random.fold_in(root, 1), cfg_m)
         bcast = lambda t: jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), t)
         params, bn = bcast(p0), bcast(s0)
@@ -138,7 +161,7 @@ def main(argv=None):
         lrs = [args.lr] * K
         labels = [f"seed[{k}] lr={args.lr:g}" for k in range(K)]
         tx = optim.make_optimizer(args.lr, args.weight_decay, clip_val=clip_val)
-        ts = ensemble.init_unimodal_ensemble(jax.random.fold_in(root, 1), cfg_m, tx, K)
+        ts = init_ens(jax.random.fold_in(root, 1), cfg_m, tx, K)
 
     va_plan = device_data.batch_plan(va_idx, args.batch_size, shuffle=False)
     va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
@@ -149,19 +172,36 @@ def main(argv=None):
     if args.fit_loop == "device":
         # The whole sweep is ONE dispatch (train/ensemble.device_fit_ensemble)
         # — a K=4 x 40-epoch host loop pays ~120 round trips this kills.
-        batch_step, eval_step = step.make_unimodal_steps(tx, beta=args.beta)
+        if joint:
+            batch_step, eval_step = step.make_multimodal_steps(tx, beta=args.beta)
+        else:
+            batch_step, eval_step = step.make_unimodal_steps(tx, beta=args.beta)
         res = ensemble.device_fit_ensemble(
             ts, batch_step=batch_step, eval_step=eval_step,
-            arrays=(data,), source=ds.source, class_=None,
+            arrays=arrays, source=ds.source, class_=None,
             train_stream=tr_idx, batch_size=args.batch_size,
             val_idx=va_plan[0], val_mask=va_plan[1], val_nb=va_plan[0].shape[0],
             max_epochs=args.max_epochs,
             early_stopping_patience=args.patience, seed=args.seed,
             shuffle=True, aot_dir=(args.aot_dir or None),
-            aot_desc=f"lrsweep|{args.modality}|z={args.z_dim}|nb={args.num_blocks}",
+            # Baked-in traced constants MUST be in the cache key: beta lives
+            # inside batch_step/eval_step, wd/clip inside tx (clip_by_global_norm
+            # bakes the value; None-vs-set only changes the treedef). Omitting
+            # them would silently replay a prior sweep's program with the old
+            # constants (same arg shapes -> same key). Mirrors _aot_cfg_desc +
+            # aot_extra="clip=..." in train/pipeline.py.
+            aot_desc=(f"lrsweep|{args.modality}|z={args.z_dim}|"
+                      f"nb={args.num_blocks}|beta={args.beta}|"
+                      f"wd={args.weight_decay}|clip={clip_val}"),
             progress_every=args.progress_every, verbose=True,
         )
     else:
+        if joint:
+            raise SystemExit(
+                "lr-sweep: --modality joint requires --fit-loop device (the "
+                "host epoch loop is unimodal-only; the device loop is the "
+                "default and supports live prints via --progress-every)")
+        data = arrays[0]
         e_train, e_eval = ensemble.make_unimodal_ensemble_epoch_fns(tx, beta=args.beta)
 
         def run_train(s, key, epoch):
@@ -210,7 +250,7 @@ def main(argv=None):
         from hippie_tpu.train import checkpoint as ckpt_mod
         from hippie_tpu.train.pipeline import _ordering_template
 
-        template = _ordering_template(cfg_m)
+        template = _ordering_template(cfg_m, multimodal=joint)
         bp = ensemble.take_replica(res.best_params, best_k)
         bbn = ensemble.take_replica(res.best_bn_state, best_k)
         ckpt_mod.save_lightning_ckpt(

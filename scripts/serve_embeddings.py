@@ -51,6 +51,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _device_interp_matrix(in_len: int, out_len: int, cap: int):
+    """Device-resident padded resample coefficients, cached per geometry.
+
+    The numpy matrix (ops.resample.padded_interp_matrix) is already
+    lru-cached, but jnp.asarray on it re-uploads ~50-205 KB host->device on
+    EVERY request — pure recurring overhead on the remote-tunnel dispatch
+    path this file exists to minimize. The matrices never change per
+    (in_len, out_len, cap), so keep them device-resident."""
+    import jax.numpy as jnp
+
+    from hippie_tpu.ops.resample import padded_interp_matrix
+
+    return jnp.asarray(padded_interp_matrix(in_len, out_len, cap))
+
 
 def build_parser():
     parser = argparse.ArgumentParser()
@@ -318,8 +336,6 @@ class EmbeddingService:
         from hippie_tpu.evaluate.embeddings import _bucket
         from hippie_tpu.ops import preprocess
 
-        from hippie_tpu.ops.resample import padded_interp_matrix
-
         counts = [len(it.wf) for it in items]
         n = sum(counts)
         b = _bucket(n)
@@ -351,8 +367,8 @@ class EmbeddingService:
         if padded:
             wave, isi = preprocess.preprocess_pair_padded(
                 jnp.asarray(wf_p), jnp.asarray(isi_p),
-                jnp.asarray(padded_interp_matrix(w_raw, preprocess.WAVE_LEN, w_cols)),
-                jnp.asarray(padded_interp_matrix(i_raw, preprocess.ISI_LEN, i_cols)),
+                _device_interp_matrix(w_raw, preprocess.WAVE_LEN, w_cols),
+                _device_interp_matrix(i_raw, preprocess.ISI_LEN, i_cols),
                 jnp.int32(w_raw), jnp.int32(i_raw), normalize=normalize,
             )
         else:
@@ -403,14 +419,21 @@ class EmbeddingService:
 
         if isinstance(rows, int):
             rows = [rows]
+        # Warm the program live requests will actually take: any raw width
+        # <= the caps routes to the PADDED program, so the synthetic widths
+        # must stay under the caps too (hardcoded 46/100 would warm the
+        # exact-width program instead whenever a cap is smaller, leaving
+        # every live bucket cold — the stall the ladder exists to prevent).
+        w_w = min(46, self.max_wave_width) if self.max_wave_width > 0 else 46
+        w_i = min(100, self.max_isi_width) if self.max_isi_width > 0 else 100
         done = set()
         for r in sorted(int(x) for x in rows):
             b = _bucket(r) if r > 0 else 0
             if b <= 0 or b in done:
                 continue
             done.add(b)
-            self.embed(np.zeros((b, 46), np.float32),
-                       np.zeros((b, 100), np.float32), 0, False)
+            self.embed(np.zeros((b, w_w), np.float32),
+                       np.zeros((b, w_i), np.float32), 0, False)
 
     def embed(self, waveforms: np.ndarray, isi_dists: np.ndarray, source: int, normalize: bool):
         """Enqueue one request and wait; returns (wave, isi, joint, seconds).

@@ -54,14 +54,16 @@ def main(argv=None):
     mode = health.get("mode", "?")
     stats0 = _get(args.url + "/stats")
 
-    rng = np.random.default_rng(0)
     lat = [[] for _ in range(args.clients)]
     errors = []
     barrier = threading.Barrier(args.clients)
 
     def client(ci: int):
         # distinct per-client rows; the reply row count must match OURS even
-        # when the server coalesced us with other clients' rows
+        # when the server coalesced us with other clients' rows. One numpy
+        # Generator per thread — a shared Generator is not thread-safe and
+        # concurrent draws could corrupt/duplicate rows across clients.
+        rng = np.random.default_rng(ci)
         wf = rng.normal(size=(args.rows, args.wave_width)).astype(np.float32)
         isi = np.abs(rng.normal(size=(args.rows, args.isi_width))).astype(np.float32)
         body = json.dumps({"waveforms": wf.tolist(), "isi_dists": isi.tolist()}).encode()

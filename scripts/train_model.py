@@ -186,6 +186,7 @@ def run(args, model_type: str = "unimodal"):
         aot_dir=(getattr(args, "aot_dir", None) or None),
         stage1_wave_ckpt=getattr(args, "stage1_wave_ckpt", None),
         stage1_time_ckpt=getattr(args, "stage1_time_ckpt", None),
+        stage1_joint_ckpt=getattr(args, "stage1_joint_ckpt", None),
         log_fn=log_fn,
     )
 

@@ -29,6 +29,11 @@ def main():
                         help="Weight for the waveform modality loss in multimodal model")
     parser.add_argument("--mod2-weight", type=float, default=1.0,
                         help="Weight for the ISI modality loss in multimodal model")
+    parser.add_argument("--stage1-joint-ckpt", type=str, default=None,
+                        help="seed the joint model from this Lightning stage-1 ckpt and "
+                             "skip its pretrain fit (e.g. an `hippie-tpu lr-sweep "
+                             "--modality joint --export-winner` output); geometry must "
+                             "match --z-dim/--num-blocks")
     args = parser.parse_args()
     run(args, model_type=args.model_type)
 

@@ -269,6 +269,50 @@ def test_device_fit_ensemble_early_stop_and_chunks(setup):
         assert np.all(waits >= 1)
 
 
+def test_device_fit_ensemble_multimodal(setup):
+    """Two-data-array (multimodal) ensembles: the fit program's replica
+    vmap must size its in_axes from len(arrays), not assume one array
+    (regression: hardcoded unimodal in_axes crashed multimodal sweeps at
+    trace time). Determinism across identical calls is bit-exact."""
+    data, source, class_, cfg, idx, mask = setup
+    rng = np.random.default_rng(7)
+    n = int(data.shape[0])
+    isi = jnp.asarray(rng.normal(size=(n, 100)).astype(np.float32))
+    K = 2
+    tr_idx, va_idx = np.arange(30), np.arange(30, n)
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    va_plan = device_data.batch_plan(va_idx, 16, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+
+    mcfg = cvae.MultiModalConfig(
+        z_dim=4, output_size_wave=50, output_size_isi=100,
+        num_sources=1, num_classes=3, num_blocks=(1, 1, 1, 1))
+
+    def init():
+        p0, s0 = cvae.multimodal_cvae_init(jax.random.PRNGKey(5), mcfg)
+        bcast = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (K,) + x.shape).copy(), t)
+        params, bn = bcast(p0), bcast(s0)
+        return step.TrainState(params, bn, jax.vmap(tx.init)(params))
+
+    batch_step, eval_step = step.make_multimodal_steps(tx, beta=1.0)
+    kw = dict(
+        batch_step=batch_step, eval_step=eval_step, arrays=(data, isi),
+        source=source, class_=None, train_stream=tr_idx, batch_size=16,
+        val_idx=va_plan[0], val_mask=va_plan[1], val_nb=va_plan[0].shape[0],
+        max_epochs=3, early_stopping_patience=None, seed=3)
+    a = ensemble.device_fit_ensemble(init(), **kw)
+    b = ensemble.device_fit_ensemble(init(), **kw)
+
+    assert a.epochs_run == 3
+    assert np.all(np.isfinite(np.stack(a.train_losses)))
+    assert np.all(np.isfinite(a.best_val_loss))
+    assert a.best_val_loss.shape == (K,)
+    np.testing.assert_array_equal(np.stack(a.val_losses), np.stack(b.val_losses))
+    for leaf in jax.tree_util.tree_leaves(a.best_params):
+        assert leaf.shape[0] == K
+
+
 def test_sharded_ensemble_matches(setup):
     """Replica axis sharded over a 2-device mesh: per-replica losses TRACK
     the single-device ensemble. Not bit-equal: GSPMD partitioning changes

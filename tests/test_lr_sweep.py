@@ -110,6 +110,70 @@ def test_winner_skips_nonfinite_best(synth_root, capsys, monkeypatch):
     capsys.readouterr()
 
 
+def test_joint_sweep_and_stage1_seed(tmp_path, capsys):
+    """--modality joint sweeps the MultiModalCVAE (two data arrays through
+    the vmapped fit program) and its exported winner seeds the multimodal
+    pipeline's stage 1 via --stage1-joint-ckpt."""
+    import numpy as np
+
+    from hippie_tpu.export import load_model_from_ckpt
+    from hippie_tpu.train.pipeline import PipelineConfig, run_pipeline
+
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "cellexplorer-celltype", n=48, num_classes=3, seed=0)
+    m = _load_module()
+
+    # host loop cannot run the joint model: clear error, not a trace crash
+    with pytest.raises(SystemExit, match="joint"):
+        m.main([
+            "--dataset", "cellexplorer-celltype", "--data-root", str(root),
+            "--pool", "self", "--modality", "joint", "--fit-loop", "host",
+            "--lrs", "1e-3", "--max-epochs", "1", "--batch-size", "16",
+            "--num-blocks", "1,1,1,1", "--z-dim", "4", "--aot-dir", "",
+        ])
+    capsys.readouterr()
+
+    path = str(tmp_path / "winner_joint.ckpt")
+    rc = m.main([
+        "--dataset", "cellexplorer-celltype", "--data-root", str(root),
+        "--pool", "self", "--modality", "joint", "--lrs", "0,3e-3",
+        "--max-epochs", "2", "--batch-size", "16",
+        "--num-blocks", "1,1,1,1", "--z-dim", "4",
+        "--export-winner", path, "--aot-dir", "",
+    ])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["winner_lr"] == 3e-3  # lr=0 cannot improve
+    assert rec["exported"] == path
+    lp, lbn, lcfg = load_model_from_ckpt(path, multimodal=True)
+    assert lcfg.z_dim == 4 and lcfg.output_size_wave == 50
+
+    cfg = PipelineConfig(
+        z_dim=4, dataset="cellexplorer-celltype", data_root=str(root),
+        output_dir=str(tmp_path / "out"), checkpoint_dir=str(tmp_path / "ckpts"),
+        batch_size=16, supervised_batch_size=16, model_type="multimodal",
+        pretrain_max_epochs=7,  # must be ignored: stage 1 is ckpt-seeded
+        finetune_max_epochs=1, supervised_max_epochs=1,
+        num_blocks=(1, 1, 1, 1), verbose=False,
+        stage1_joint_ckpt=path,
+    )
+    results = run_pipeline(cfg)
+    assert "load_pool" not in results["timings"]
+    assert "pretrain_joint" not in results["timings"]
+    acc = results["best"]["joint"]["balanced_accuracy"]
+    assert 0.0 <= acc <= 1.0 and np.isfinite(acc)
+
+    # geometry guard + wrong-pipeline guards
+    import dataclasses
+
+    with pytest.raises(ValueError, match="geometry"):
+        run_pipeline(dataclasses.replace(
+            cfg, z_dim=5, output_dir=str(tmp_path / "o2"),
+            checkpoint_dir=str(tmp_path / "c2")))
+    with pytest.raises(ValueError, match="MULTIMODAL"):
+        run_pipeline(dataclasses.replace(cfg, model_type="unimodal"))
+
+
 def test_export_winner_feeds_pipeline(tmp_path, capsys):
     """The sweep->pipeline loop: export winners for both modalities, run
     stages 2-3 from them (stage-1 fits skipped), geometry guard raises on a

@@ -363,3 +363,26 @@ def test_warmup_ladder(server):
         assert service.requests - before == 2
     finally:
         service._max_bucket = max(saved, service._max_bucket)
+
+
+def test_warmup_widths_respect_caps(server):
+    """Warmup must warm the program live requests take: when a width cap is
+    SMALLER than the synthetic 46/100 defaults, the warmup rows must clamp
+    to the cap (padded path) — otherwise the ladder compiles only the
+    exact-width programs and every live bucket stays cold."""
+    _, service = server
+    seen = []
+    orig_embed = service.embed
+    saved = (service.max_wave_width, service.max_isi_width)
+    service.embed = lambda wf, isi, src, norm: seen.append((wf.shape, isi.shape))
+    try:
+        service.max_wave_width, service.max_isi_width = 40, 80
+        service.warmup([64])
+        assert seen == [((64, 40), (64, 80))]  # clamped -> padded program
+        seen.clear()
+        service.max_wave_width, service.max_isi_width = 256, 512
+        service.warmup([64])
+        assert seen == [((64, 46), (64, 100))]  # defaults already under caps
+    finally:
+        service.embed = orig_embed
+        service.max_wave_width, service.max_isi_width = saved
