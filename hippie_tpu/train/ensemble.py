@@ -433,13 +433,24 @@ def _build_ensemble_fit(batch_step, eval_step, *, n_rep: int, shuffle: bool,
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _init_ensemble_carry(ts, buf, k):
+def _init_ensemble_carry(ts, buf, k, epoch=0, best_val=None, best_epoch=None,
+                         wait=None, best2=None):
     # Best seeds must be COPIES of the live state: the whole carry is donated
     # to the fit program (donating aliased buffers is an execution error).
-    best_p, best_bn = jax.tree_util.tree_map(jnp.copy, (ts.params, ts.bn_state))
+    # ``best2``: a restored (best_params, best_bn) from --resume — fresh orbax
+    # buffers, never aliased to ts, so they seed the best slots directly. The
+    # loop counters are runtime values so fresh starts and resume restarts
+    # share one compiled program.
+    best_p, best_bn = (best2 if best2 is not None else
+                       jax.tree_util.tree_map(jnp.copy, (ts.params, ts.bn_state)))
+    bv = (jnp.full((k,), jnp.inf, jnp.float32) if best_val is None
+          else jnp.asarray(best_val, jnp.float32))
+    be = (jnp.full((k,), -1, jnp.int32) if best_epoch is None
+          else jnp.asarray(best_epoch, jnp.int32))
+    w = (jnp.zeros((k,), jnp.int32) if wait is None
+         else jnp.asarray(wait, jnp.int32))
     return (
-        jnp.int32(0), ts, jnp.full((k,), jnp.inf, jnp.float32),
-        jnp.full((k,), -1, jnp.int32), jnp.zeros((k,), jnp.int32),
+        jnp.asarray(epoch, jnp.int32), ts, bv, be, w,
         jnp.bool_(False), best_p, best_bn, buf, jnp.bool_(False),
     )
 
@@ -468,6 +479,7 @@ def device_fit_ensemble(
     progress_every: Optional[int] = None,
     verbose: bool = False,
     log_fn=None,
+    resume_dir: Optional[str] = None,
 ) -> EnsembleFitResult:
     """Run a whole K-replica ensemble fit on device; one dispatch total.
 
@@ -478,6 +490,16 @@ def device_fit_ensemble(
     ``aot_dir``). ``progress_every`` runs the same program in epoch chunks
     for live progress (identical trajectory: per-epoch RNG derives from
     (seed, epoch)).
+
+    ``resume_dir``: orbax mid-run resume for sweeps/ensembles (the 200-760 s
+    K-replica lr sweeps used to restart from zero on any interruption).
+    Forces chunked execution (cadence = progress_every, default every epoch)
+    and persists the stacked TrainState, the [K] best/wait counters AND the
+    stacked per-replica best snapshots after each chunk
+    (orbax_io.save_ensemble_fit_state — one atomic payload). Per-epoch RNG
+    derives from (seed, epoch), so a resumed EnsembleFitResult is bit-equal
+    to the uninterrupted run regardless of where each replica's best fell
+    (tests/test_ensemble.py resume cases).
 
     Trajectory parity with the host ``fit_ensemble`` (driven on
     host_epoch_plan plans) is pinned by tests/test_ensemble.py.
@@ -498,6 +520,33 @@ def device_fit_ensemble(
             state=ts, best_params=ts.params, best_bn_state=ts.bn_state,
             best_val_loss=np.full((k,), np.inf),
             best_epoch=np.full((k,), -1, np.int64), epochs_run=0,
+        )
+
+    start_epoch, bv0, be0, w0, best0 = 0, None, None, None, None
+    if resume_dir is not None:
+        from hippie_tpu.train import orbax_io
+
+        resumed = orbax_io.resume_ensemble_fit_state(resume_dir, ts)
+        if resumed is not None:
+            last_epoch, ts, extras, best0 = resumed
+            start_epoch = last_epoch + 1
+            bv0 = np.asarray(extras["best_val"], np.float32)
+            be0 = np.asarray(extras["best_epoch"], np.int32)
+            w0 = np.asarray(extras["wait"], np.int32)
+            if verbose:
+                print(f"Resumed ensemble from {resume_dir} at epoch {start_epoch}")
+
+    if (start_epoch > 0 and early_stopping_patience is not None
+            and np.all(w0 >= early_stopping_patience)):
+        # Joint early stopping already fired before the interruption; any
+        # further epoch would diverge from the uninterrupted trajectory.
+        if verbose:
+            print(f"Ensemble early stopping already triggered at epoch "
+                  f"{start_epoch - 1}; nothing to resume")
+        return EnsembleFitResult(
+            state=ts, best_params=best0[0], best_bn_state=best0[1],
+            best_val_loss=np.asarray(bv0, np.float64),
+            best_epoch=np.asarray(be0, np.int64), epochs_run=start_epoch,
         )
 
     fit = _build_ensemble_fit(
@@ -538,11 +587,14 @@ def device_fit_ensemble(
                         "train_loss": [float(x) for x in row[0]],
                         "val_loss": [float(x) for x in row[1]]})
 
-    carry = _init_ensemble_carry(ts, buf, k)
-    emitted = 0
+    carry = _init_ensemble_carry(ts, buf, k, start_epoch, bv0, be0, w0, best0)
+    emitted = start_epoch
     chunk = int(progress_every) if (progress_every and progress_every > 0) else None
+    if resume_dir is not None and chunk is None:
+        chunk = 1  # per-epoch durability, matching device_fit's resume cadence
     if chunk is not None:
-        budget = 0
+        budget = start_epoch
+        last_saved = start_epoch - 1
         while True:
             budget = min(budget + chunk, max_epochs)
             carry = run_chunk(carry, budget)
@@ -553,6 +605,20 @@ def device_fit_ensemble(
                 n_emit = len(rows_new) - 1 if diverged_now else len(rows_new)
                 emit(rows_new[:n_emit], emitted)
                 emitted = epochs_done - (1 if bool(diverged_now) else 0)
+            if (resume_dir is not None and not diverged_now
+                    and epochs_done - 1 > last_saved):
+                # The diverged epoch is never persisted (device_fit parity);
+                # the early-stopping epoch is. Best snapshots ride in the
+                # SAME payload — see orbax_io.save_ensemble_fit_state.
+                from hippie_tpu.train import orbax_io
+
+                bv, be, wt = jax.device_get((carry[2], carry[3], carry[4]))
+                orbax_io.save_ensemble_fit_state(
+                    resume_dir, epochs_done - 1, carry[1],
+                    {"best_val": bv, "best_epoch": be, "wait": wt},
+                    (carry[6], carry[7]),
+                )
+                last_saved = epochs_done - 1
             if stop or diverged_now or epochs_done >= max_epochs:
                 break
     else:
@@ -582,8 +648,10 @@ def device_fit_ensemble(
         best_val_loss=np.asarray(best_val, np.float64),
         best_epoch=np.asarray(best_epoch, np.int64),
         epochs_run=epochs_run,
-        train_losses=[np.asarray(r[0], np.float64) for r in rows],
-        val_losses=[np.asarray(r[1], np.float64) for r in rows],
+        # After a resume the loss lists cover only the epochs THIS call ran
+        # (pre-resume rows were never computed here) — device_fit contract.
+        train_losses=[np.asarray(r[0], np.float64) for r in rows[start_epoch:]],
+        val_losses=[np.asarray(r[1], np.float64) for r in rows[start_epoch:]],
     )
 
 

@@ -108,6 +108,75 @@ def _replace_on_template(tree, template):
     )
 
 
+def save_ensemble_fit_state(directory: str, epoch: int, state, extras: dict, best):
+    """Ensemble twin of ``save_fit_state``: persist a stacked K-replica
+    TrainState + [K] loop counters + the stacked per-replica best snapshot.
+
+    The best snapshot (``best = (best_params, best_bn)``) travels IN the
+    epoch payload rather than a sidecar ``best_`` dir: per-replica bests
+    advance on most epochs (any one of K replicas improving), so the
+    conditional-save economy of the single-model format buys nothing, and
+    one atomic payload removes the cross-dir trust protocol entirely — a
+    crash can never leave a best snapshot the loop counters don't match.
+    """
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    import shutil
+
+    payload = {
+        "epoch": np.asarray(epoch),
+        "params": state.params,
+        "bn_state": state.bn_state,
+        "opt_state": state.opt_state,
+        "best_params": best[0],
+        "best_bn": best[1],
+        "extras": {k: np.asarray(v) for k, v in extras.items()},
+    }
+    path = os.path.join(directory, f"epoch_{epoch:06d}")
+    _checkpointer().save(path, payload, force=True)
+    for stale in _complete_entries(directory, "epoch_")[:-2]:
+        shutil.rmtree(os.path.join(directory, stale), ignore_errors=True)
+    for leftover in os.listdir(directory):
+        if ".orbax-checkpoint-tmp" in leftover:
+            shutil.rmtree(os.path.join(directory, leftover), ignore_errors=True)
+
+
+def resume_ensemble_fit_state(directory: str, state_template) -> Optional[Tuple[int, Any, dict, Any]]:
+    """Restore (epoch, TrainState, extras, (best_params, best_bn)) for an
+    interrupted ``device_fit_ensemble`` run; None when no complete save
+    exists. Leaves re-place on the template's shardings (mesh-sharded
+    replica ensembles resume onto the same mesh placement)."""
+    import jax
+
+    path = latest_fit_state(directory)
+    if path is None:
+        return None
+    k = jax.tree_util.tree_leaves(state_template.params)[0].shape[0]
+    template = {
+        "epoch": np.asarray(0),
+        "params": state_template.params,
+        "bn_state": state_template.bn_state,
+        "opt_state": state_template.opt_state,
+        "best_params": state_template.params,
+        "best_bn": state_template.bn_state,
+        "extras": {
+            "best_val": np.zeros((k,), np.float32),
+            "best_epoch": np.zeros((k,), np.int32),
+            "wait": np.zeros((k,), np.int32),
+        },
+    }
+    restored = _checkpointer().restore(path, item=template)
+    new_state = type(state_template)(
+        restored["params"], restored["bn_state"], restored["opt_state"]
+    )
+    new_state = _replace_on_template(new_state, state_template)
+    best = _replace_on_template(
+        (restored["best_params"], restored["best_bn"]),
+        (state_template.params, state_template.bn_state),
+    )
+    return int(restored["epoch"]), new_state, restored.get("extras") or {}, best
+
+
 def resume_fit_state(directory: str, state_template) -> Optional[Tuple[int, Any, dict, Any]]:
     """Restore (epoch, TrainState, extras, best) from the latest saved epoch.
 

@@ -334,6 +334,15 @@ def cached_call(fn, args: tuple, aot_dir: str, static_desc: str,
                 getattr(leaf, "is_deleted", lambda: False)()
                 for leaf in jax.tree_util.tree_leaves(args)
             ):
+                # Still evict the bad entry from disk AND the memo before
+                # re-raising: leaving it would wedge every later process (and
+                # any same-process retry, which takes the no-recovery memo
+                # branch above) on the exact failure this path exists to heal.
+                _EXEC_MEMO.pop(path, None)
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
                 raise
             return compile_and_store()(*args)
 

@@ -16,8 +16,20 @@ def enable_persistent_cache(path: str | None = None) -> str:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "hippie_tpu_xla"),
     )
-    os.makedirs(path, exist_ok=True)
     import jax
+
+    if jax.default_backend() == "cpu":
+        # Segregate CPU-backend caches per host ISA, the same keying
+        # utils/aot.py applies to .jexec entries: XLA:CPU AOT cache entries
+        # embed machine-specific codegen (AVX-512 etc.), and a container
+        # migration onto different hardware would load foreign entries that
+        # warn ("Machine type used for XLA:CPU compilation doesn't match…")
+        # and can SIGILL at run time. TPU entries are device code — the
+        # shared dir stays flat there.
+        from hippie_tpu.utils.aot import _host_fingerprint
+
+        path = os.path.join(path, f"isa-{_host_fingerprint()}")
+    os.makedirs(path, exist_ok=True)
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)

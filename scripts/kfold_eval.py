@@ -54,7 +54,10 @@ def build_parser():
                              "side. For a fully honest protocol start from "
                              "a ckpt that never saw this dataset (e.g. "
                              "`hippie-tpu lr-sweep --export-winner` on the "
-                             "leave-target-out pool). Dual-ckpt path only.")
+                             "leave-target-out pool). Works with the dual "
+                             "pair AND --joint-checkpoint (per-fold "
+                             "MultiModalCVAE refits via the pipeline's "
+                             "joint stage recipe).")
     parser.add_argument("--refit-epochs", type=int, default=20,
                         help="per-fold fine-tune epochs (--refit)")
     parser.add_argument("--refit-supervised-epochs", type=int, default=0,
@@ -192,15 +195,95 @@ def _refit_fold_embeddings(args, data, source, labels, folds, p0, bn0, cfgm,
     return out
 
 
+def _refit_fold_embeddings_joint(args, wave, isi, source, labels, folds,
+                                 p0, bn0, cfgm):
+    """Joint-model twin of ``_refit_fold_embeddings``: per fold, fine-tune
+    (+ optional supervised) the MultiModalCVAE checkpoint on the fold's
+    TRAIN rows only via ``pipeline._fit_multimodal_stage``, then embed every
+    row with that model. Returns one [N, z] joint embedding per fold.
+
+    Mirrors the joint pipeline's stage-2/3 recipe on the fold subset
+    (pipeline._run_multimodal_pipeline: lr/10, clip 1.0 all stages,
+    beta/mod-weights 1.0, supervised stage seeded from the fine-tune best
+    minus the class embedding — quirk Q10). Embeddings stay honest (no
+    class conditioning). Reference counterpart: the joint-only KNN eval at
+    train_model_with_multimodal.py:909-971, cross-validated honestly here.
+    """
+    import jax
+
+    from hippie_tpu.data import device_data, sampling
+    from hippie_tpu.evaluate import embeddings as emb_mod
+    from hippie_tpu.train import optim, pipeline, step
+
+    n_cls = int(len(np.unique(labels)))
+    fit_cfg = pipeline.PipelineConfig(
+        dataset=args.dataset, data_root=args.data_root,
+        early_stopping_patience=(args.refit_patience or None),
+        seed=args.seed, verbose=False, aot_dir=(args.aot_dir or None),
+    )
+    # joint pipeline contract: gradient_clip_val (default 1.0) in EVERY stage
+    tx_ft = optim.make_optimizer(args.refit_lr, 0.01, fit_cfg.gradient_clip_val)
+    tx_sup = optim.make_optimizer(args.refit_lr, 0.01, fit_cfg.gradient_clip_val)
+    order_t = pipeline._ordering_template(cfgm, multimodal=True)
+    cfg_sup = cfgm._replace(num_classes=n_cls)
+    labels_dev = None
+    if args.refit_supervised_epochs > 0:
+        import jax.numpy as jnp
+
+        labels_dev = jnp.asarray(np.asarray(labels, np.int32))
+    root = jax.random.PRNGKey(args.seed)
+    mi = 2  # joint stream id: disjoint from wave=0 / time=1 stage seeds
+    out = []
+    for fi, (tr, _va) in enumerate(folds):
+        tr = np.asarray(tr)
+        f_tr, f_va = device_data.train_val_split(
+            len(tr), 0.8, jax.random.fold_in(root, 100 + fi))
+        ft_tr, ft_va = tr[f_tr], tr[f_va]
+        params, bn = pipeline._seed_from_best(p0, bn0, order_t, drop=())
+        ts = step.TrainState(params, bn, jax.jit(tx_ft.init)(params))
+        res = pipeline._fit_multimodal_stage(
+            cfg=fit_cfg, ts=ts, tx=tx_ft, wave=wave, isi=isi, source=source,
+            class_=source, train_indices=ft_tr, val_indices=ft_va,
+            batch_size=args.refit_batch_size, max_epochs=args.refit_epochs,
+            use_class_labels=False, shuffle_train=False,
+            stage_seed=1000 + 10 * fi + mi, lr=args.refit_lr,
+            aot_extra=f"kfold|clip={fit_cfg.gradient_clip_val}",
+        )
+        # stage-2 contract: embeddings come from the BEST fine-tune model
+        # (the joint pipeline reloads the best ckpt before embedding,
+        # _run_multimodal_pipeline stage-2 handoff)
+        emb_p = res.best_params if res.best_epoch >= 0 else res.state.params
+        emb_bn = res.best_bn_state if res.best_epoch >= 0 else res.state.bn_state
+        if args.refit_supervised_epochs > 0:
+            tmpl = pipeline._init_multimodal(
+                jax.random.fold_in(root, 500 + 10 * fi + mi), cfg_sup)
+            sp, sbn = pipeline._seed_from_best(emb_p, emb_bn, tmpl)
+            ts_s = step.TrainState(sp, sbn, jax.jit(tx_sup.init)(sp))
+            stream = sampling.balanced_indices(labels[ft_tr], seed=args.seed)
+            res_s = pipeline._fit_multimodal_stage(
+                cfg=fit_cfg, ts=ts_s, tx=tx_sup, wave=wave, isi=isi,
+                source=source, class_=labels_dev, train_indices=ft_tr,
+                val_indices=ft_va, batch_size=args.refit_batch_size,
+                max_epochs=args.refit_supervised_epochs,
+                use_class_labels=True, shuffle_train=False,
+                fixed_train_stream=ft_tr[stream],
+                stage_seed=2000 + 10 * fi + mi, lr=args.refit_lr,
+                aot_extra=f"kfold|clip={fit_cfg.gradient_clip_val}",
+            )
+            # stage-3 contract: embeddings come from the BEST supervised model
+            emb_p = res_s.best_params if res_s.best_epoch >= 0 else res_s.state.params
+            emb_bn = res_s.best_bn_state if res_s.best_epoch >= 0 else res_s.state.bn_state
+        out.append(np.asarray(
+            emb_mod.embed_multimodal(emb_p, emb_bn, wave, isi, source)))
+    return out
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.joint_checkpoint is None and (
             args.wave_checkpoint is None or args.time_checkpoint is None):
         build_parser().error(
             "provide --wave-checkpoint and --time-checkpoint, or --joint-checkpoint")
-    if args.refit and args.joint_checkpoint is not None:
-        build_parser().error("--refit supports the dual-checkpoint path only")
-
     from hippie_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -264,15 +347,21 @@ def main(argv=None):
         print(f"refitting per fold: {args.refit_epochs} fine-tune"
               + (f" + {args.refit_supervised_epochs} supervised"
                  if args.refit_supervised_epochs else "") + " epochs")
-        w_embs = _refit_fold_embeddings(
-            args, wave, source, labels, folds, pw, sw, cfg, "wave")
-        t_embs = _refit_fold_embeddings(
-            args, isi_p, source, labels, folds, pt, st, cfg_t, "time")
-        modes["refit"] = {
-            "waveform": w_embs,
-            "isi": t_embs,
-            "joint": [np.hstack([w, t]) for w, t in zip(w_embs, t_embs)],
-        }
+        if args.joint_checkpoint is not None:
+            modes["refit"] = {
+                "joint": _refit_fold_embeddings_joint(
+                    args, wave, isi_p, source, labels, folds, p, s, cfg),
+            }
+        else:
+            w_embs = _refit_fold_embeddings(
+                args, wave, source, labels, folds, pw, sw, cfg, "wave")
+            t_embs = _refit_fold_embeddings(
+                args, isi_p, source, labels, folds, pt, st, cfg_t, "time")
+            modes["refit"] = {
+                "waveform": w_embs,
+                "isi": t_embs,
+                "joint": [np.hstack([w, t]) for w, t in zip(w_embs, t_embs)],
+            }
 
     rows = []
     best_by = {}

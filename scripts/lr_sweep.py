@@ -62,6 +62,12 @@ def build_parser():
     p.add_argument("--max-epochs", type=int, default=40)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--beta", type=float, default=1.0)
+    p.add_argument("--mod1-weight", type=float, default=1.0,
+                   help="joint sweeps only: waveform loss weight — match the "
+                        "--mod1-weight the pipeline will train stages 2-3 "
+                        "with, or the sweep objective diverges from it")
+    p.add_argument("--mod2-weight", type=float, default=1.0,
+                   help="joint sweeps only: ISI loss weight (see --mod1-weight)")
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--clip-val", type=float, default=None,
                    help="global-norm clip; default mirrors the reference's "
@@ -81,6 +87,11 @@ def build_parser():
     p.add_argument("--aot-dir", default=os.path.join(
         os.path.expanduser("~"), ".cache", "hippie_tpu_aot"),
         help="compiled-program cache for the device fit loop; '' disables")
+    p.add_argument("--resume-dir", default=None, metavar="DIR",
+                   help="orbax crash-resume dir for the sweep (device loop "
+                        "only): the K-replica fit saves its stacked state + "
+                        "per-replica bests each epoch and an interrupted "
+                        "sweep resumes bit-equal to an uninterrupted run")
     p.add_argument("--export-winner", default=None, metavar="CKPT",
                    help="write the winning replica as a Lightning stage-1 "
                         "checkpoint; feed it to the pipeline via "
@@ -103,6 +114,9 @@ def main(argv=None):
     ds = (pipeline.load_pretrain_pool(cfg) if args.pool == "pretrain"
           else pipeline.load_dataset(cfg, args.dataset))
     joint = args.modality == "joint"
+    if not joint and (args.mod1_weight != 1.0 or args.mod2_weight != 1.0):
+        raise SystemExit("lr-sweep: --mod1-weight/--mod2-weight only apply to "
+                         "--modality joint")
     if joint:
         arrays = (ds.wave, ds.isi)
     else:
@@ -173,7 +187,9 @@ def main(argv=None):
         # The whole sweep is ONE dispatch (train/ensemble.device_fit_ensemble)
         # — a K=4 x 40-epoch host loop pays ~120 round trips this kills.
         if joint:
-            batch_step, eval_step = step.make_multimodal_steps(tx, beta=args.beta)
+            batch_step, eval_step = step.make_multimodal_steps(
+                tx, beta=args.beta,
+                mod1_weight=args.mod1_weight, mod2_weight=args.mod2_weight)
         else:
             batch_step, eval_step = step.make_unimodal_steps(tx, beta=args.beta)
         res = ensemble.device_fit_ensemble(
@@ -192,10 +208,15 @@ def main(argv=None):
             # aot_extra="clip=..." in train/pipeline.py.
             aot_desc=(f"lrsweep|{args.modality}|z={args.z_dim}|"
                       f"nb={args.num_blocks}|beta={args.beta}|"
-                      f"wd={args.weight_decay}|clip={clip_val}"),
+                      f"wd={args.weight_decay}|clip={clip_val}"
+                      + (f"|m1={args.mod1_weight}|m2={args.mod2_weight}"
+                         if joint else "")),
             progress_every=args.progress_every, verbose=True,
+            resume_dir=args.resume_dir,
         )
     else:
+        if args.resume_dir:
+            raise SystemExit("lr-sweep: --resume-dir requires --fit-loop device")
         if joint:
             raise SystemExit(
                 "lr-sweep: --modality joint requires --fit-loop device (the "

@@ -108,6 +108,13 @@ def build_parser():
                              "compile. 0 disables (always per-width)")
     parser.add_argument("--max-isi-width", type=int, default=512,
                         help="raw ISI width cap (see --max-wave-width)")
+    parser.add_argument("--warmup-async", action="store_true",
+                        help="bind the port and serve immediately; the warmup "
+                             "ladder compiles on a background thread (early "
+                             "requests are slower — they queue behind the "
+                             "in-flight ladder compiles — but the service is "
+                             "reachable at once instead of after the ~2-min "
+                             "cold ladder)")
     return parser
 
 
@@ -260,8 +267,19 @@ class EmbeddingService:
         self._worker.start()
 
     @staticmethod
-    def _bucketed_artifact_call(call):
-        from hippie_tpu.evaluate.embeddings import _bucket, _pad_rows
+    def _bucket_rows(n: int) -> int:
+        """THE row-bucket rule, shared by the live path (_run_group), the
+        coalescer cap (_chunk_to_warm_buckets), artifact calls, and warmup()
+        — one function so a warmed bucket is by construction the bucket a
+        live request of the same row count pads to (512-floor power of two,
+        hippie_tpu/evaluate/embeddings._bucket)."""
+        from hippie_tpu.evaluate.embeddings import _bucket
+
+        return _bucket(n)
+
+    @classmethod
+    def _bucketed_artifact_call(cls, call):
+        from hippie_tpu.evaluate.embeddings import _pad_rows
 
         def run(*arrays):
             # Power-of-two row bucketing: Exported.call compiles per concrete
@@ -269,7 +287,7 @@ class EmbeddingService:
             # request size. Eval mode means pad rows cannot influence real
             # rows; they are sliced off.
             n = arrays[0].shape[0]
-            b = _bucket(n)
+            b = cls._bucket_rows(n)
             out = call(*(_pad_rows(a, b) for a in arrays))
             return out[:n]
 
@@ -308,8 +326,6 @@ class EmbeddingService:
         """Split a coalesced group so each chunk's padded bucket is one the
         device already has a compiled program for. A single request larger
         than every warm bucket runs alone (and warms its bucket)."""
-        from hippie_tpu.evaluate.embeddings import _bucket
-
         cap = self._max_bucket
         if cap <= 0:
             # Nothing is warm yet (--warmup-rows 0): run each request alone
@@ -319,7 +335,7 @@ class EmbeddingService:
         chunks, cur, cur_rows = [], [], 0
         for it in items:
             c = len(it.wf)
-            if cur and _bucket(cur_rows + c) > cap:
+            if cur and self._bucket_rows(cur_rows + c) > cap:
                 chunks.append(cur)
                 cur, cur_rows = [], 0
             cur.append(it)
@@ -333,12 +349,11 @@ class EmbeddingService:
         import jax
         import jax.numpy as jnp
 
-        from hippie_tpu.evaluate.embeddings import _bucket
         from hippie_tpu.ops import preprocess
 
         counts = [len(it.wf) for it in items]
         n = sum(counts)
-        b = _bucket(n)
+        b = self._bucket_rows(n)
         w_raw = items[0].wf.shape[1]
         i_raw = items[0].isi.shape[1]
         # Width-agnostic path: pad raw widths to the caps and pass the
@@ -414,9 +429,11 @@ class EmbeddingService:
         """Pre-compile the given row bucket(s). Accepts one int or a ladder
         of them; duplicates after power-of-two bucketing are skipped. After
         this, ``_max_bucket`` equals the ladder's top, so the coalescer can
-        group bursts up to that many rows into ONE device call."""
-        from hippie_tpu.evaluate.embeddings import _bucket
+        group bursts up to that many rows into ONE device call.
 
+        Entries bucket through ``_bucket_rows`` — the SAME rule the live
+        path applies — so a sub-floor ladder entry (e.g. 64) warms the
+        floor bucket that a live 64-row request will actually pad to."""
         if isinstance(rows, int):
             rows = [rows]
         # Warm the program live requests will actually take: any raw width
@@ -428,7 +445,7 @@ class EmbeddingService:
         w_i = min(100, self.max_isi_width) if self.max_isi_width > 0 else 100
         done = set()
         for r in sorted(int(x) for x in rows):
-            b = _bucket(r) if r > 0 else 0
+            b = self._bucket_rows(r) if r > 0 else 0
             if b <= 0 or b in done:
                 continue
             done.add(b)
@@ -559,10 +576,21 @@ def main(argv=None):
     if args.warmup_rows is not None:
         # legacy flag: 0 disables everything, >0 adds its bucket
         ladder = ladder + [args.warmup_rows] if args.warmup_rows > 0 else []
-    if ladder:
+    def run_warmup():
         print(f"warming up buckets {sorted(set(ladder))}...")
+        t0 = time.perf_counter()
         service.warmup(ladder)
+        print(f"warmup ladder done in {time.perf_counter() - t0:.1f} s")
+
+    if ladder and not args.warmup_async:
+        run_warmup()
     server = EmbeddingHTTPServer((args.host, args.port), make_handler(service))
+    if ladder and args.warmup_async:
+        # All device work funnels through the service's single-dispatch
+        # queue, so ladder compiles and live requests interleave safely —
+        # early requests just wait behind whichever warmup entry is in
+        # flight instead of behind the WHOLE ladder.
+        threading.Thread(target=run_warmup, daemon=True).start()
     print(f"serving {service.mode} embeddings on http://{args.host}:{args.port} (POST /embed)")
     try:
         server.serve_forever()

@@ -16,8 +16,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the container has ONE CPU core and XLA compiles of
-# the fused train epochs take minutes; cache across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# the fused train epochs take minutes; cache across test runs. The dir is
+# keyed by host-ISA fingerprint (same rule as utils/aot.py .jexec entries and
+# utils/cache.py): XLA:CPU AOT entries embed machine codegen, and a container
+# migration used to make every test run load foreign entries with SIGILL-risk
+# cpu_aot_loader warnings.
+from hippie_tpu.utils.aot import _host_fingerprint  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/jax_cache/isa-{_host_fingerprint()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -313,6 +313,137 @@ def test_device_fit_ensemble_multimodal(setup):
         assert leaf.shape[0] == K
 
 
+def _resume_kw(data, source, tr_idx, va_plan, **over):
+    kw = dict(
+        arrays=(data,), source=source, class_=None, train_stream=tr_idx,
+        batch_size=16, val_idx=va_plan[0], val_mask=va_plan[1],
+        val_nb=va_plan[0].shape[0], early_stopping_patience=None, seed=3)
+    kw.update(over)
+    return kw
+
+
+def test_device_fit_ensemble_resume_matches_uninterrupted(setup, tmp_path):
+    """A killed sweep resumes bit-equal to the uninterrupted run: the stacked
+    TrainState, the [K] best/wait counters AND the per-replica best
+    snapshots round-trip through one atomic orbax payload (per-epoch RNG
+    derives from (seed, epoch), so the trajectory re-derives exactly)."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    n = int(data.shape[0])
+    tr_idx, va_idx = np.arange(30), np.arange(30, n)
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    va_plan = device_data.batch_plan(va_idx, 16, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+    kw = _resume_kw(data, source, tr_idx, va_plan,
+                    batch_step=batch_step, eval_step=eval_step)
+
+    full = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                        max_epochs=6, **kw)
+
+    rdir = str(tmp_path / "ens_resume")
+    part1 = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                         max_epochs=3, resume_dir=rdir, **kw)
+    assert part1.epochs_run == 3
+    part2 = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                         max_epochs=6, resume_dir=rdir, **kw)
+
+    assert part2.epochs_run == 6
+    # loss lists cover only the epochs THIS call ran (device_fit convention)
+    np.testing.assert_array_equal(np.stack(part2.val_losses),
+                                  np.stack(full.val_losses[3:]))
+    np.testing.assert_array_equal(np.stack(part2.train_losses),
+                                  np.stack(full.train_losses[3:]))
+    np.testing.assert_array_equal(part2.best_epoch, full.best_epoch)
+    np.testing.assert_array_equal(part2.best_val_loss, full.best_val_loss)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(
+            (part2.state.params, part2.best_params, part2.best_bn_state)),
+        jax.tree_util.tree_leaves(
+            (full.state.params, full.best_params, full.best_bn_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_fit_ensemble_resume_preserves_best_before_interrupt(setup, tmp_path):
+    """Crash AFTER a replica's best epoch: the resumed EnsembleFitResult must
+    return that replica's TRUE best weights from the persisted snapshot even
+    when no post-resume epoch improves it."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    n = int(data.shape[0])
+    tr_idx, va_idx = np.arange(30), np.arange(30, n)
+    tx = optim.make_optimizer(1e-2, 0.01, clip_val=1.0)
+    va_plan = device_data.batch_plan(va_idx, 16, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+    kw = _resume_kw(data, source, tr_idx, va_plan,
+                    batch_step=batch_step, eval_step=eval_step)
+
+    full = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                        max_epochs=4, **kw)
+    assert np.any(full.best_epoch < 2), \
+        "scenario precondition: some replica's best falls before the interrupt"
+
+    rdir = str(tmp_path / "ens_resume_best")
+    ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                 max_epochs=2, resume_dir=rdir, **kw)
+    part2 = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                         max_epochs=4, resume_dir=rdir, **kw)
+
+    np.testing.assert_array_equal(part2.best_epoch, full.best_epoch)
+    np.testing.assert_array_equal(part2.best_val_loss, full.best_val_loss)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((part2.best_params, part2.best_bn_state)),
+        jax.tree_util.tree_leaves((full.best_params, full.best_bn_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_fit_ensemble_resume_of_stopped_sweep_is_noop(setup, tmp_path):
+    """Resuming a sweep whose joint early stop already fired must not train
+    further (restored wait >= patience is re-checked BEFORE running). The
+    stopped state is CONSTRUCTED (wait counters bumped past patience in the
+    saved payload) — whether a live sweep early-stops within N epochs is
+    stochastic, which is no basis for a test precondition."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    n = int(data.shape[0])
+    tr_idx, va_idx = np.arange(30), np.arange(30, n)
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    va_plan = device_data.batch_plan(va_idx, 16, shuffle=False)
+    va_plan = (jnp.asarray(va_plan[0]), jnp.asarray(va_plan[1]))
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+    kw = _resume_kw(data, source, tr_idx, va_plan,
+                    batch_step=batch_step, eval_step=eval_step)
+
+    rdir = str(tmp_path / "ens_resume_stop")
+    r1 = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                      max_epochs=3, resume_dir=rdir, **kw)
+    assert r1.epochs_run == 3
+
+    from hippie_tpu.train import orbax_io
+
+    epoch, st, extras, best = orbax_io.resume_ensemble_fit_state(
+        rdir, _init(cfg, tx, K, seed=9))
+    extras = dict(extras)
+    extras["wait"] = np.full((K,), 7, np.int32)  # every replica stalled
+    orbax_io.save_ensemble_fit_state(rdir, epoch, st, extras, best)
+
+    kw["early_stopping_patience"] = 1
+    r2 = ensemble.device_fit_ensemble(_init(cfg, tx, K, seed=9),
+                                      max_epochs=12, resume_dir=rdir, **kw)
+    assert r2.epochs_run == r1.epochs_run
+    assert r2.train_losses == []
+    np.testing.assert_array_equal(r2.best_epoch, r1.best_epoch)
+    np.testing.assert_array_equal(r2.best_val_loss, r1.best_val_loss)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((r1.best_params, r1.best_bn_state)),
+        jax.tree_util.tree_leaves((r2.best_params, r2.best_bn_state)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_ensemble_matches(setup):
     """Replica axis sharded over a 2-device mesh: per-replica losses TRACK
     the single-device ensemble. Not bit-equal: GSPMD partitioning changes

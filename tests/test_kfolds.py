@@ -72,6 +72,50 @@ def test_kfold_eval_cli(tmp_path, capsys):
     assert (df["folds"] == 5).all()
 
 
+def test_kfold_eval_cli_refit_joint(tmp_path, capsys):
+    """--refit with --joint-checkpoint: per-fold MultiModalCVAE refits via
+    the pipeline's joint stage recipe (the flagship joint model gets honest
+    CV numbers, not just leaky embed-once ones)."""
+    import importlib.util
+
+    import jax
+    import pandas as pd
+
+    from hippie_tpu.data import synth
+    from hippie_tpu.models import cvae
+    from hippie_tpu.train import checkpoint as ckpt_mod
+
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "kf-rig", n=48, num_classes=2, seed=3)
+    mcfg = cvae.MultiModalConfig(z_dim=4, output_size_wave=50,
+                                 output_size_isi=100, num_sources=3,
+                                 num_classes=3, num_blocks=(1, 1, 1, 1))
+    p, s = cvae.multimodal_cvae_init(jax.random.PRNGKey(0), mcfg)
+    ckpt_mod.save_lightning_ckpt(str(tmp_path / "joint.ckpt"), p, s)
+
+    spec = importlib.util.spec_from_file_location("kfold_eval", "scripts/kfold_eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "out"
+    mod.main([
+        "--dataset", "kf-rig", "--data-root", str(root),
+        "--joint-checkpoint", str(tmp_path / "joint.ckpt"),
+        "--folds", "3", "--output-dir", str(out),
+        "--refit", "--refit-epochs", "2", "--refit-supervised-epochs", "1",
+        "--refit-batch-size", "16", "--refit-patience", "0",
+        "--aot-dir", "",
+    ])
+    stdout = capsys.readouterr().out
+    assert "refitting per fold" in stdout
+    assert "leakage delta" in stdout
+    df = pd.read_csv(out / "kf-rig_kfold_knn.csv")
+    assert set(df["mode"]) == {"embed_once", "refit"}
+    # joint-ckpt mode has only the joint kind, in both modes
+    assert set(df["kind"]) == {"joint"}
+    assert ((0.0 <= df["mean_balanced_accuracy"])
+            & (df["mean_balanced_accuracy"] <= 1.0)).all()
+
+
 def test_kfold_eval_cli_refit(tmp_path, capsys):
     """--refit: per-fold fine-tune(+supervised) on the fold-train rows only,
     held-out rows embedded by a model that never trained on them; CSV gains

@@ -324,8 +324,6 @@ def test_width_agnostic_preprocess_program(server):
     compiled preprocess program per row bucket — the warmup ladder then
     covers first requests regardless of raw width — and their embeddings
     must match the exact-width library path."""
-    from hippie_tpu.ops import preprocess
-
     _, service = server
     assert service.max_wave_width > 0 and service.max_isi_width > 0
     rng = np.random.default_rng(11)
@@ -334,12 +332,26 @@ def test_width_agnostic_preprocess_program(server):
     isi_a = np.abs(rng.normal(size=(4, 91))).astype(np.float32)
     w_a, _, _, _ = service.embed(wf_a, isi_a, 0, False)  # compiles the padded program
 
-    n_cache = preprocess.preprocess_pair_padded._cache_size()
-    wf_b = rng.normal(size=(4, 33)).astype(np.float32)
-    isi_b = np.abs(rng.normal(size=(4, 77))).astype(np.float32)
-    w, i, j, _ = service.embed(wf_b, isi_b, 1, False)
+    # Public no-recompile signal: jax.monitoring's backend-compile event
+    # fires once per fresh XLA compile and never on tracing-cache hits
+    # (stable public API, unlike the jitted function's _cache_size()).
+    import jax.monitoring
+
+    compiles = []
+
+    def _on_event(name, secs, **kw):
+        if name == "/jax/core/compile/backend_compile_duration":
+            compiles.append(name)
+
+    jax.monitoring.register_event_duration_secs_listener(_on_event)
+    try:
+        wf_b = rng.normal(size=(4, 33)).astype(np.float32)
+        isi_b = np.abs(rng.normal(size=(4, 77))).astype(np.float32)
+        w, i, j, _ = service.embed(wf_b, isi_b, 1, False)
+    finally:
+        jax.monitoring.unregister_event_duration_listener(_on_event)
     # a different raw width did NOT trigger a new compile
-    assert preprocess.preprocess_pair_padded._cache_size() == n_cache
+    assert compiles == []
     assert np.asarray(w).shape == (4, service.z_dim)
     assert np.asarray(j).shape == (4, 2 * service.z_dim)
     assert np.all(np.isfinite(np.asarray(j)))
@@ -366,11 +378,20 @@ def test_warmup_ladder(server):
 
 
 def test_warmup_widths_respect_caps(server):
-    """Warmup must warm the program live requests take: when a width cap is
-    SMALLER than the synthetic 46/100 defaults, the warmup rows must clamp
-    to the cap (padded path) — otherwise the ladder compiles only the
-    exact-width programs and every live bucket stays cold."""
+    """Warmup must warm the program live requests take, on BOTH axes:
+
+    - rows: warmup entries bucket through the service's single shared rule
+      (``_bucket_rows``, also used by _run_group and the coalescer cap), so
+      a sub-floor ladder entry like 64 warms the floor bucket a live 64-row
+      request pads to — agreement by construction, not by two copies.
+    - widths: when a width cap is SMALLER than the synthetic 46/100
+      defaults, the warmup rows must clamp to the cap (padded path) —
+      otherwise the ladder compiles only the exact-width programs and
+      every live bucket stays cold.
+    """
     _, service = server
+    b = service._bucket_rows(64)  # THE live-path bucket for 64 rows
+    assert b >= 64
     seen = []
     orig_embed = service.embed
     saved = (service.max_wave_width, service.max_isi_width)
@@ -378,11 +399,67 @@ def test_warmup_widths_respect_caps(server):
     try:
         service.max_wave_width, service.max_isi_width = 40, 80
         service.warmup([64])
-        assert seen == [((64, 40), (64, 80))]  # clamped -> padded program
+        assert seen == [((b, 40), (b, 80))]  # clamped -> padded program
         seen.clear()
         service.max_wave_width, service.max_isi_width = 256, 512
         service.warmup([64])
-        assert seen == [((64, 46), (64, 100))]  # defaults already under caps
+        assert seen == [((b, 46), (b, 100))]  # defaults already under caps
     finally:
         service.embed = orig_embed
         service.max_wave_width, service.max_isi_width = saved
+
+
+def test_warmup_async_interleaves_with_live_requests(server):
+    """--warmup-async contract: live requests are served WHILE the ladder
+    warms (both funnel through the single-dispatch queue, so they
+    interleave rather than the live request waiting for the whole ladder)."""
+    _, service = server
+    started = threading.Event()
+    done = threading.Event()
+
+    def warm():
+        started.set()
+        service.warmup([512])
+        done.set()
+
+    t = threading.Thread(target=warm)
+    t.start()
+    started.wait(5)
+    rng = np.random.default_rng(5)
+    wf = rng.normal(size=(3, 46)).astype(np.float32)
+    isi = np.abs(rng.normal(size=(3, 100))).astype(np.float32)
+    w, i, j, _ = service.embed(wf, isi, 0, False)  # must not deadlock
+    assert np.asarray(j).shape == (3, 2 * service.z_dim)
+    t.join(30)
+    assert done.is_set()
+
+
+def test_live_path_and_warmup_share_bucket_rule(server, monkeypatch):
+    """Regression for the r4 red test: the live dispatch path (_run_group)
+    and warmup() must consume ONE bucket function. Route _bucket_rows
+    through a recorder and assert both paths hit it with the same answer."""
+    _, service = server
+    calls = []
+    real = type(service)._bucket_rows
+
+    def recording(n):
+        b = real(n)
+        calls.append((n, b))
+        return b
+
+    monkeypatch.setattr(type(service), "_bucket_rows", staticmethod(recording))
+    rng = np.random.default_rng(3)
+    wf = rng.normal(size=(5, 46)).astype(np.float32)
+    isi = np.abs(rng.normal(size=(5, 100))).astype(np.float32)
+    service.embed(wf, isi, 0, False)  # live path
+    live = [b for (n, b) in calls if n == 5]
+    assert live, "live path did not consult _bucket_rows"
+    calls.clear()
+    orig_embed = service.embed
+    service.embed = lambda *a: None
+    try:
+        service.warmup([5])
+        warm = [b for (n, b) in calls if n == 5]
+        assert warm and warm[0] == live[0]
+    finally:
+        service.embed = orig_embed
