@@ -18,8 +18,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def balanced_indices(labels: np.ndarray, seed: int = 42) -> np.ndarray:
-    """Return the full balanced round-robin index stream for one epoch."""
+def balanced_indices(labels: np.ndarray, seed: int = 42,
+                     target_count: int | None = None) -> np.ndarray:
+    """Return the full balanced round-robin index stream for one epoch.
+
+    ``target_count`` (optional) oversamples every class to that count instead
+    of the majority count — callers that run several label subsets through
+    one compiled program (the fold-parallel kfold refit) pass the global
+    majority count so every subset's stream has the same length. Must be >=
+    the local majority count; default None keeps the reference semantics.
+    """
     labels = np.asarray(labels)
     rng = np.random.default_rng(seed)
 
@@ -27,6 +35,11 @@ def balanced_indices(labels: np.ndarray, seed: int = 42) -> np.ndarray:
     for idx, lab in enumerate(labels):
         buckets.setdefault(lab.item() if hasattr(lab, "item") else lab, []).append(idx)
     balanced_max = max(len(b) for b in buckets.values())
+    if target_count is not None:
+        if target_count < balanced_max:
+            raise ValueError(
+                f"target_count {target_count} < local majority {balanced_max}")
+        balanced_max = target_count
 
     # random.choice-with-replacement from the growing list, like the reference
     # (dataloading.py:123-125 appends chosen items back into the pool).

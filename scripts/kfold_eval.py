@@ -71,6 +71,17 @@ def build_parser():
                         help="early-stopping patience within a fold refit "
                              "(on the fold-train val split; 0 = none)")
     parser.add_argument("--refit-batch-size", type=int, default=512)
+    parser.add_argument("--fold-parallel", action="store_true",
+                        help="run all K fold refits as replicas of ONE "
+                             "compiled program per stage (per-replica index "
+                             "plans; train/ensemble.device_fit_replica_plans)"
+                             " instead of K sequential fits — collapses ~2K "
+                             "dispatches+setups into ~2. Same honest "
+                             "protocol to vmap tolerance (trajectories are "
+                             "not bit-equal to sequential: backward "
+                             "reduction order + one shared key root). Falls "
+                             "back to sequential when fold plan shapes "
+                             "diverge.")
     parser.add_argument("--aot-dir", type=str, default=os.path.join(
         os.path.expanduser("~"), ".cache", "hippie_tpu_aot"),
         help="compiled-program cache shared with the pipeline; folds share "
@@ -278,6 +289,176 @@ def _refit_fold_embeddings_joint(args, wave, isi, source, labels, folds,
     return out
 
 
+def _stacked_fold_plans(streams, batch_size):
+    """Per-fold fixed [nb, B] batch plans stacked to [K, nb, B] — or None
+    when the folds' plans disagree on batch count (then every batch of the
+    shorter plans could not keep a real row and the caller must fall back to
+    sequential refits)."""
+    from hippie_tpu.data import device_data
+
+    plans = [device_data.batch_plan(np.asarray(s), batch_size, shuffle=False)
+             for s in streams]
+    if len({p[0].shape[0] for p in plans}) != 1:
+        return None
+    return (np.stack([p[0] for p in plans]),
+            np.stack([p[1] for p in plans]))
+
+
+def _take_best(res, k):
+    """Replica k's embedding weights: its best snapshot, else its (frozen)
+    final state — the sequential refit's per-stage selection rule."""
+    from hippie_tpu.train import ensemble
+
+    if int(res.best_epoch[k]) >= 0:
+        return (ensemble.take_replica(res.best_params, k),
+                ensemble.take_replica(res.best_bn_state, k))
+    return (ensemble.take_replica(res.state.params, k),
+            ensemble.take_replica(res.state.bn_state, k))
+
+
+def _refit_fold_embeddings_parallel(args, arrays, source, labels, folds,
+                                    p0, bn0, cfgm, modality):
+    """Fold-PARALLEL twin of the sequential refit helpers: all K fold refits
+    run as replicas of ONE ``ensemble.device_fit_replica_plans`` program per
+    stage (per-replica fixed index plans), collapsing ~2K fit dispatches +
+    setups into ~2 — the RTT rationale of train/ensemble.py applied to the
+    kfold protocol (VERDICT_r4 #7). Same honest protocol (per-fold train/val
+    splits, last-epoch fine-tune contract via per-replica early-stop
+    freezing, best-supervised embeddings) to vmap tolerance: trajectories are
+    equivalence-not-bit-equal to the sequential fits (backward reduction
+    order + per-replica key streams derive from one root rather than K stage
+    seeds). Returns one [N, z] embedding per fold, or None when fold plan
+    shapes diverge (caller falls back to sequential).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hippie_tpu.data import device_data, sampling
+    from hippie_tpu.evaluate import embeddings as emb_mod
+    from hippie_tpu.train import ensemble, optim, pipeline, step
+
+    joint = modality == "joint"
+    mi = {"wave": 0, "time": 1, "joint": 2}[modality]
+    n_cls = int(len(np.unique(labels)))
+    K = len(folds)
+    # Q7 clip asymmetry for the dual pair; the joint pipeline clips (1.0)
+    # in every stage — both mirror the sequential refit helpers.
+    clip_ft = (1.0 if joint else (None if modality == "wave" else 1.0))
+    tx_ft = optim.make_optimizer(args.refit_lr, 0.01, clip_ft)
+    tx_sup = optim.make_optimizer(args.refit_lr, 0.01, 1.0)
+    root = jax.random.PRNGKey(args.seed)
+
+    # Per-fold train/val splits: identical to the sequential helpers.
+    ft_trs, ft_vas = [], []
+    for fi, (tr, _va) in enumerate(folds):
+        tr = np.asarray(tr)
+        f_tr, f_va = device_data.train_val_split(
+            len(tr), 0.8, jax.random.fold_in(root, 100 + fi))
+        ft_trs.append(tr[f_tr])
+        ft_vas.append(tr[f_va])
+
+    t_plan = _stacked_fold_plans(ft_trs, args.refit_batch_size)
+    v_plan = _stacked_fold_plans(ft_vas, args.refit_batch_size)
+    if t_plan is None or v_plan is None:
+        return None
+
+    from hippie_tpu.models import cvae
+
+    if joint:
+        batch_ft, eval_ft = step.make_multimodal_steps(tx_ft, beta=1.0)
+        batch_sup, eval_sup = step.make_multimodal_steps(tx_sup, beta=1.0)
+        init_fn = cvae.multimodal_cvae_init
+    else:
+        batch_ft, eval_ft = step.make_unimodal_steps(tx_ft, beta=1.0)
+        batch_sup, eval_sup = step.make_unimodal_steps(tx_sup, beta=1.0)
+        init_fn = cvae.unimodal_cvae_init
+
+    bcast = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), t)
+    params, bn = bcast(p0), bcast(bn0)
+    ts = step.TrainState(params, bn, jax.vmap(tx_ft.init)(params))
+    aot_dir = args.aot_dir or None
+    res = ensemble.device_fit_replica_plans(
+        ts, batch_step=batch_ft, eval_step=eval_ft, arrays=arrays,
+        source=source, class_=None,
+        train_idx=t_plan[0], train_mask=t_plan[1],
+        val_idx=v_plan[0], val_mask=v_plan[1],
+        max_epochs=args.refit_epochs,
+        early_stopping_patience=(args.refit_patience or None),
+        seed=args.seed + 91000 + mi, aot_dir=aot_dir,
+        aot_desc=f"kfold|{modality}|beta=1.0|wd=0.01|clip={clip_ft}",
+    )
+    def sel_stacked(cond_k, a, b):
+        # per-replica tree select (cond [K] bool): replica k takes a if
+        # cond_k[k] else b — the sequential best-or-final rule, vectorized
+        c = jnp.asarray(cond_k)
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.where(c.reshape((K,) + (1,) * (x.ndim - 1)), x, y),
+            a, b)
+
+    has_best = res.best_epoch >= 0
+    # stage-2 contract: the dual pair embeds the LAST-epoch (frozen) model,
+    # the joint pipeline embeds/seeds from the BEST fine-tune model — both
+    # mirror the sequential helpers above.
+    if joint:
+        sup_src_p = sel_stacked(has_best, res.best_params, res.state.params)
+        sup_src_bn = sel_stacked(has_best, res.best_bn_state, res.state.bn_state)
+        emb_src = [(ensemble.take_replica(sup_src_p, k),
+                    ensemble.take_replica(sup_src_bn, k)) for k in range(K)]
+    else:
+        sup_src_p = sel_stacked(has_best, res.best_params, res.state.params)
+        sup_src_bn = sel_stacked(has_best, res.best_bn_state, res.state.bn_state)
+        emb_src = [(ensemble.take_replica(res.state.params, k),
+                    ensemble.take_replica(res.state.bn_state, k))
+                   for k in range(K)]
+
+    if args.refit_supervised_epochs > 0:
+        cfg_sup = cfgm._replace(num_classes=n_cls)
+        keys = jnp.stack([jax.random.fold_in(root, 500 + 10 * fi + mi)
+                          for fi in range(K)])
+        tmpl_p, tmpl_bn = jax.vmap(lambda k: init_fn(k, cfg_sup))(keys)
+        sp = pipeline._graft(tmpl_p, sup_src_p, ("class_embedding",))
+        sbn = pipeline._graft(tmpl_bn, sup_src_bn)
+        ts_s = step.TrainState(sp, sbn, jax.vmap(tx_sup.init)(sp))
+        # Equal-length balanced streams across folds: oversample every fold
+        # to the GLOBAL majority count (sampling.balanced_indices
+        # target_count) so all K supervised plans share one shape.
+        locs = [np.bincount(labels[ft]).max() for ft in ft_trs]
+        target = int(max(locs))
+        streams = []
+        for ft in ft_trs:
+            st = sampling.balanced_indices(labels[ft], seed=args.seed,
+                                           target_count=target)
+            streams.append(np.asarray(ft)[st])
+        if len({len(s) for s in streams}) != 1:
+            return None  # a fold-train subset lost a class entirely
+        s_plan = _stacked_fold_plans(streams, args.refit_batch_size)
+        if s_plan is None:
+            return None
+        labels_dev = jnp.asarray(np.asarray(labels, np.int32))
+        res_s = ensemble.device_fit_replica_plans(
+            ts_s, batch_step=batch_sup, eval_step=eval_sup, arrays=arrays,
+            source=source, class_=labels_dev,
+            train_idx=s_plan[0], train_mask=s_plan[1],
+            val_idx=v_plan[0], val_mask=v_plan[1],
+            max_epochs=args.refit_supervised_epochs,
+            early_stopping_patience=(args.refit_patience or None),
+            seed=args.seed + 92000 + mi, use_class_labels=True,
+            aot_dir=aot_dir,
+            aot_desc=f"kfold|{modality}|sup|beta=1.0|wd=0.01|clip=1.0",
+        )
+        emb_src = [_take_best(res_s, k) for k in range(K)]
+
+    out = []
+    for ep, ebn in emb_src:
+        if joint:
+            out.append(np.asarray(
+                emb_mod.embed_multimodal(ep, ebn, arrays[0], arrays[1], source)))
+        else:
+            out.append(np.asarray(emb_mod.embed_unimodal(ep, ebn, arrays[0], source)))
+    return out
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.joint_checkpoint is None and (
@@ -347,15 +528,29 @@ def main(argv=None):
         print(f"refitting per fold: {args.refit_epochs} fine-tune"
               + (f" + {args.refit_supervised_epochs} supervised"
                  if args.refit_supervised_epochs else "") + " epochs")
+        def _parallel_or_seq(arrays, p0, bn0, cfgm, modality, seq_fn, *seq_args):
+            if args.fold_parallel:
+                embs = _refit_fold_embeddings_parallel(
+                    args, arrays, source, labels, folds, p0, bn0, cfgm, modality)
+                if embs is not None:
+                    return embs
+                print(f"fold-parallel: {modality} fold plan shapes diverge; "
+                      "falling back to sequential refits")
+            return seq_fn(*seq_args)
+
         if args.joint_checkpoint is not None:
             modes["refit"] = {
-                "joint": _refit_fold_embeddings_joint(
+                "joint": _parallel_or_seq(
+                    (wave, isi_p), p, s, cfg, "joint",
+                    _refit_fold_embeddings_joint,
                     args, wave, isi_p, source, labels, folds, p, s, cfg),
             }
         else:
-            w_embs = _refit_fold_embeddings(
+            w_embs = _parallel_or_seq(
+                (wave,), pw, sw, cfg, "wave", _refit_fold_embeddings,
                 args, wave, source, labels, folds, pw, sw, cfg, "wave")
-            t_embs = _refit_fold_embeddings(
+            t_embs = _parallel_or_seq(
+                (isi_p,), pt, st, cfg_t, "time", _refit_fold_embeddings,
                 args, isi_p, source, labels, folds, pt, st, cfg_t, "time")
             modes["refit"] = {
                 "waveform": w_embs,
@@ -364,6 +559,7 @@ def main(argv=None):
             }
 
     rows = []
+    fold_rows = []
     best_by = {}
     for mode, mode_kinds in modes.items():
         for kind, emb in mode_kinds.items():
@@ -377,6 +573,10 @@ def main(argv=None):
                              "mean_balanced_accuracy": float(np.mean(accs)),
                              "std_balanced_accuracy": float(np.std(accs)),
                              "folds": len(accs)})
+                for fi, a in enumerate(accs):
+                    fold_rows.append({"mode": mode, "kind": kind, "k": k,
+                                      "fold": fi,
+                                      "balanced_accuracy": float(a)})
     for kind in kinds:
         m, s, bk = best_by[("embed_once", kind)]
         line = f"{kind}: embed-once {m:.4f} ± {s:.4f} (k={bk})"
@@ -387,6 +587,12 @@ def main(argv=None):
         print(line)
     out_path = os.path.join(args.output_dir, f"{args.dataset}_kfold_knn.csv")
     pd.DataFrame(rows).to_csv(out_path, index=False)
+    # per-fold accuracies too: paired-fold comparisons between recipes need
+    # the fold-level numbers, not just mean ± std (fold noise is shared
+    # between recipes evaluated on the same fold split, so paired deltas
+    # carry far less variance than the stds suggest)
+    folds_path = os.path.join(args.output_dir, f"{args.dataset}_kfold_knn_folds.csv")
+    pd.DataFrame(fold_rows).to_csv(folds_path, index=False)
     print(f"saved {out_path}")
 
 

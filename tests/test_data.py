@@ -265,3 +265,23 @@ def test_register_and_discover_custom_datasets(tmp_path):
         registry.DATASET_SOURCE_IDS.clear()
         registry.DATASET_SOURCE_IDS.update(saved_ids)
         registry.NUM_SOURCES = saved_n
+
+
+def test_balanced_indices_target_count():
+    """target_count oversamples every class to the given count (equal-length
+    streams across label subsets — the fold-parallel kfold contract); default
+    None keeps the majority-count semantics; too-small targets raise."""
+    import numpy as np
+    import pytest
+
+    from hippie_tpu.data.sampling import balanced_indices
+
+    labels = np.array([0, 0, 0, 0, 1, 1, 2])
+    base = balanced_indices(labels, seed=1)
+    assert len(base) == 4 * 3
+    ext = balanced_indices(labels, seed=1, target_count=6)
+    assert len(ext) == 6 * 3
+    # round-robin: stream positions j*3..j*3+2 hold one index per class
+    assert [labels[i] for i in ext[:3]] == [0, 1, 2]
+    with pytest.raises(ValueError):
+        balanced_indices(labels, seed=1, target_count=3)

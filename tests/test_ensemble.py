@@ -477,3 +477,104 @@ def test_sharded_ensemble_matches(setup):
     np.testing.assert_allclose(
         np.stack(shard.val_losses), np.stack(base.val_losses), rtol=1.5e-2)
     np.testing.assert_allclose(shard.best_val_loss, base.best_val_loss, rtol=1.5e-2)
+
+
+def test_replica_plans_matches_shared_plan_loop(setup):
+    """device_fit_replica_plans with every replica on the SAME fixed plan is
+    on the shared-plan device loop's shuffle=False trajectory — one key
+    derivation (fold_in(tkey, 1)), one plan convention (duplicate-last-real),
+    so the per-replica-plan program generalizes the shared-plan one."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    n = int(data.shape[0])
+    tr_idx, va_idx = np.arange(30), np.arange(30, n)
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    seed, max_epochs, B = 7, 4, 16
+    va_plan = device_data.batch_plan(va_idx, B, shuffle=False)
+    tr_plan = device_data.batch_plan(tr_idx, B, shuffle=False)
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+
+    shared = ensemble.device_fit_ensemble(
+        _init(cfg, tx, K, seed=5), batch_step=batch_step, eval_step=eval_step,
+        arrays=(data,), source=source, class_=None,
+        train_stream=tr_idx, batch_size=B, shuffle=False,
+        val_idx=jnp.asarray(va_plan[0]), val_mask=jnp.asarray(va_plan[1]),
+        val_nb=va_plan[0].shape[0],
+        max_epochs=max_epochs, early_stopping_patience=None, seed=seed)
+    stacked = ensemble.device_fit_replica_plans(
+        _init(cfg, tx, K, seed=5), batch_step=batch_step, eval_step=eval_step,
+        arrays=(data,), source=source, class_=None,
+        train_idx=np.stack([tr_plan[0]] * K), train_mask=np.stack([tr_plan[1]] * K),
+        val_idx=np.stack([va_plan[0]] * K), val_mask=np.stack([va_plan[1]] * K),
+        max_epochs=max_epochs, early_stopping_patience=None, seed=seed)
+
+    assert stacked.epochs_run == shared.epochs_run
+    np.testing.assert_allclose(
+        np.stack(stacked.train_losses), np.stack(shared.train_losses), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.stack(stacked.val_losses), np.stack(shared.val_losses), rtol=1e-5)
+    np.testing.assert_array_equal(stacked.best_epoch, shared.best_epoch)
+    for k in range(K):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ensemble.take_replica(stacked.best_params, k)),
+            jax.tree_util.tree_leaves(ensemble.take_replica(shared.best_params, k)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_replica_plans_per_replica_freeze(setup):
+    """Each replica's final state freezes at ITS OWN early-stop epoch (the
+    sequential fit's last-epoch contract) while others train on: replica k's
+    frozen state is bit-equal to re-running the same program with the epoch
+    budget truncated at k's stop epoch and no patience."""
+    data, source, class_, cfg, idx, mask = setup
+    K = 2
+    tx = optim.make_optimizer(3e-3, 0.01, clip_val=1.0)
+    seed, B, patience, max_epochs = 11, 16, 1, 8
+    # different plans per replica: overlapping but distinct row ranges
+    tr0, tr1 = np.arange(0, 20), np.arange(10, 30)
+    va0, va1 = np.arange(30, 35), np.arange(35, 40)
+    t_plans = [device_data.batch_plan(t, B, shuffle=False) for t in (tr0, tr1)]
+    v_plans = [device_data.batch_plan(v, B, shuffle=False) for v in (va0, va1)]
+    t_idx = np.stack([p[0] for p in t_plans])
+    t_mask = np.stack([p[1] for p in t_plans])
+    v_idx = np.stack([p[0] for p in v_plans])
+    v_mask = np.stack([p[1] for p in v_plans])
+    batch_step, eval_step = step.make_unimodal_steps(tx, beta=1.0)
+    kw = dict(batch_step=batch_step, eval_step=eval_step, arrays=(data,),
+              source=source, class_=None, train_idx=t_idx, train_mask=t_mask,
+              val_idx=v_idx, val_mask=v_mask, seed=seed)
+
+    full = ensemble.device_fit_replica_plans(
+        _init(cfg, tx, K, seed=13), max_epochs=max_epochs,
+        early_stopping_patience=patience, **kw)
+
+    # per-replica stop epoch, re-derived from the val-loss trajectory
+    vl = np.stack(full.val_losses)  # [E, K]
+    stop_epoch = np.full((K,), full.epochs_run - 1, np.int64)
+    for k in range(K):
+        best, wait = np.inf, 0
+        for e in range(full.epochs_run):
+            if vl[e, k] < best:
+                best, wait = vl[e, k], 0
+            else:
+                wait += 1
+            if wait >= patience:
+                stop_epoch[k] = e
+                break
+    assert full.epochs_run == int(stop_epoch.max()) + 1  # joint stop fired
+
+    for k in range(K):
+        trunc = ensemble.device_fit_replica_plans(
+            _init(cfg, tx, K, seed=13), max_epochs=int(stop_epoch[k]) + 1,
+            early_stopping_patience=None, **kw)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ensemble.take_replica(full.state.params, k)),
+            jax.tree_util.tree_leaves(ensemble.take_replica(trunc.state.params, k)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ensemble.take_replica(full.state.bn_state, k)),
+            jax.tree_util.tree_leaves(ensemble.take_replica(trunc.state.bn_state, k)),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
