@@ -82,6 +82,16 @@ def build_parser():
                              "reduction order + one shared key root). Falls "
                              "back to sequential when fold plan shapes "
                              "diverge.")
+    parser.add_argument("--fold-parallel-max-replicas", type=int, default=None,
+                        metavar="G",
+                        help="cap on simultaneous fold replicas per compiled "
+                             "program (--fold-parallel): folds run in "
+                             "ceil(K/G) sequential groups sharing one "
+                             "program. Default all K; set ~5 for the joint "
+                             "model on a single v5e chip (10 x 16.1M-param "
+                             "replica train states exceed HBM). On "
+                             "RESOURCE_EXHAUSTED the CLI falls back to "
+                             "sequential refits automatically.")
     parser.add_argument("--aot-dir", type=str, default=os.path.join(
         os.path.expanduser("~"), ".cache", "hippie_tpu_aot"),
         help="compiled-program cache shared with the pipeline; folds share "
@@ -373,58 +383,16 @@ def _refit_fold_embeddings_parallel(args, arrays, source, labels, folds,
         batch_sup, eval_sup = step.make_unimodal_steps(tx_sup, beta=1.0)
         init_fn = cvae.unimodal_cvae_init
 
-    bcast = lambda t: jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), t)
-    params, bn = bcast(p0), bcast(bn0)
-    ts = step.TrainState(params, bn, jax.vmap(tx_ft.init)(params))
     aot_dir = args.aot_dir or None
-    res = ensemble.device_fit_replica_plans(
-        ts, batch_step=batch_ft, eval_step=eval_ft, arrays=arrays,
-        source=source, class_=None,
-        train_idx=t_plan[0], train_mask=t_plan[1],
-        val_idx=v_plan[0], val_mask=v_plan[1],
-        max_epochs=args.refit_epochs,
-        early_stopping_patience=(args.refit_patience or None),
-        seed=args.seed + 91000 + mi, aot_dir=aot_dir,
-        aot_desc=f"kfold|{modality}|beta=1.0|wd=0.01|clip={clip_ft}",
-    )
-    def sel_stacked(cond_k, a, b):
-        # per-replica tree select (cond [K] bool): replica k takes a if
-        # cond_k[k] else b — the sequential best-or-final rule, vectorized
-        c = jnp.asarray(cond_k)
-        return jax.tree_util.tree_map(
-            lambda x, y: jnp.where(c.reshape((K,) + (1,) * (x.ndim - 1)), x, y),
-            a, b)
+    pat = args.refit_patience or None
 
-    has_best = res.best_epoch >= 0
-    # stage-2 contract: the dual pair embeds the LAST-epoch (frozen) model,
-    # the joint pipeline embeds/seeds from the BEST fine-tune model — both
-    # mirror the sequential helpers above.
-    if joint:
-        sup_src_p = sel_stacked(has_best, res.best_params, res.state.params)
-        sup_src_bn = sel_stacked(has_best, res.best_bn_state, res.state.bn_state)
-        emb_src = [(ensemble.take_replica(sup_src_p, k),
-                    ensemble.take_replica(sup_src_bn, k)) for k in range(K)]
-    else:
-        sup_src_p = sel_stacked(has_best, res.best_params, res.state.params)
-        sup_src_bn = sel_stacked(has_best, res.best_bn_state, res.state.bn_state)
-        emb_src = [(ensemble.take_replica(res.state.params, k),
-                    ensemble.take_replica(res.state.bn_state, k))
-                   for k in range(K)]
-
+    # Supervised streams are built over ALL folds up front so the oversample
+    # target (sampling.balanced_indices target_count = the GLOBAL majority
+    # count) — and with it the plan shape — is identical across folds AND
+    # replica groups: every group then reuses one compiled program.
+    s_plan_all = labels_dev = cfg_sup = None
     if args.refit_supervised_epochs > 0:
-        cfg_sup = cfgm._replace(num_classes=n_cls)
-        keys = jnp.stack([jax.random.fold_in(root, 500 + 10 * fi + mi)
-                          for fi in range(K)])
-        tmpl_p, tmpl_bn = jax.vmap(lambda k: init_fn(k, cfg_sup))(keys)
-        sp = pipeline._graft(tmpl_p, sup_src_p, ("class_embedding",))
-        sbn = pipeline._graft(tmpl_bn, sup_src_bn)
-        ts_s = step.TrainState(sp, sbn, jax.vmap(tx_sup.init)(sp))
-        # Equal-length balanced streams across folds: oversample every fold
-        # to the GLOBAL majority count (sampling.balanced_indices
-        # target_count) so all K supervised plans share one shape.
-        locs = [np.bincount(labels[ft]).max() for ft in ft_trs]
-        target = int(max(locs))
+        target = int(max(np.bincount(labels[ft]).max() for ft in ft_trs))
         streams = []
         for ft in ft_trs:
             st = sampling.balanced_indices(labels[ft], seed=args.seed,
@@ -432,22 +400,84 @@ def _refit_fold_embeddings_parallel(args, arrays, source, labels, folds,
             streams.append(np.asarray(ft)[st])
         if len({len(s) for s in streams}) != 1:
             return None  # a fold-train subset lost a class entirely
-        s_plan = _stacked_fold_plans(streams, args.refit_batch_size)
-        if s_plan is None:
+        s_plan_all = _stacked_fold_plans(streams, args.refit_batch_size)
+        if s_plan_all is None:
             return None
         labels_dev = jnp.asarray(np.asarray(labels, np.int32))
-        res_s = ensemble.device_fit_replica_plans(
-            ts_s, batch_step=batch_sup, eval_step=eval_sup, arrays=arrays,
-            source=source, class_=labels_dev,
-            train_idx=s_plan[0], train_mask=s_plan[1],
-            val_idx=v_plan[0], val_mask=v_plan[1],
-            max_epochs=args.refit_supervised_epochs,
-            early_stopping_patience=(args.refit_patience or None),
-            seed=args.seed + 92000 + mi, use_class_labels=True,
-            aot_dir=aot_dir,
-            aot_desc=f"kfold|{modality}|sup|beta=1.0|wd=0.01|clip=1.0",
+        cfg_sup = cfgm._replace(num_classes=n_cls)
+
+    # Replica grouping: K simultaneous replicas of a large model can exceed
+    # HBM (measured: 10x the 16.1M-param joint model OOMs a v5e-1 at B=512);
+    # --fold-parallel-max-replicas G runs ceil(K/G) groups sequentially.
+    # Equal-size groups share one compiled program (the PRNG root is a
+    # runtime arg), so grouping costs dispatches, not compiles.
+    max_r = args.fold_parallel_max_replicas or K
+    bounds = [(lo, min(lo + max_r, K)) for lo in range(0, K, max_r)]
+
+    def run_group(lo, hi, gi):
+        Kg = hi - lo
+        bcast = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (Kg,) + x.shape), t)
+
+        def sel_stacked(cond_k, a, b):
+            # per-replica tree select: replica k takes a if cond_k[k] else b
+            # — the sequential best-or-final rule, vectorized
+            c = jnp.asarray(cond_k)
+            return jax.tree_util.tree_map(
+                lambda x, y: jnp.where(
+                    c.reshape((Kg,) + (1,) * (x.ndim - 1)), x, y),
+                a, b)
+
+        params, bn = bcast(p0), bcast(bn0)
+        ts = step.TrainState(params, bn, jax.vmap(tx_ft.init)(params))
+        res = ensemble.device_fit_replica_plans(
+            ts, batch_step=batch_ft, eval_step=eval_ft, arrays=arrays,
+            source=source, class_=None,
+            train_idx=t_plan[0][lo:hi], train_mask=t_plan[1][lo:hi],
+            val_idx=v_plan[0][lo:hi], val_mask=v_plan[1][lo:hi],
+            max_epochs=args.refit_epochs, early_stopping_patience=pat,
+            seed=args.seed + 91000 + mi + 131 * gi, aot_dir=aot_dir,
+            aot_desc=f"kfold|{modality}|beta=1.0|wd=0.01|clip={clip_ft}",
         )
-        emb_src = [_take_best(res_s, k) for k in range(K)]
+        has_best = res.best_epoch >= 0
+        sup_src_p = sel_stacked(has_best, res.best_params, res.state.params)
+        sup_src_bn = sel_stacked(has_best, res.best_bn_state, res.state.bn_state)
+        # stage-2 contract: the dual pair embeds the LAST-epoch (frozen)
+        # model, the joint pipeline embeds/seeds from the BEST fine-tune
+        # model — both mirror the sequential helpers above.
+        if joint:
+            emb_src = [(ensemble.take_replica(sup_src_p, k),
+                        ensemble.take_replica(sup_src_bn, k))
+                       for k in range(Kg)]
+        else:
+            emb_src = [(ensemble.take_replica(res.state.params, k),
+                        ensemble.take_replica(res.state.bn_state, k))
+                       for k in range(Kg)]
+
+        if args.refit_supervised_epochs > 0:
+            keys = jnp.stack([jax.random.fold_in(root, 500 + 10 * fi + mi)
+                              for fi in range(lo, hi)])
+            tmpl_p, tmpl_bn = jax.vmap(lambda k: init_fn(k, cfg_sup))(keys)
+            sp = pipeline._graft(tmpl_p, sup_src_p, ("class_embedding",))
+            sbn = pipeline._graft(tmpl_bn, sup_src_bn)
+            ts_s = step.TrainState(sp, sbn, jax.vmap(tx_sup.init)(sp))
+            res_s = ensemble.device_fit_replica_plans(
+                ts_s, batch_step=batch_sup, eval_step=eval_sup, arrays=arrays,
+                source=source, class_=labels_dev,
+                train_idx=s_plan_all[0][lo:hi], train_mask=s_plan_all[1][lo:hi],
+                val_idx=v_plan[0][lo:hi], val_mask=v_plan[1][lo:hi],
+                max_epochs=args.refit_supervised_epochs,
+                early_stopping_patience=pat,
+                seed=args.seed + 92000 + mi + 131 * gi, use_class_labels=True,
+                aot_dir=aot_dir,
+                aot_desc=f"kfold|{modality}|sup|beta=1.0|wd=0.01|clip=1.0",
+            )
+            emb_src = [_take_best(res_s, k) for k in range(Kg)]
+        return emb_src
+
+    emb_src = []
+    for gi, (lo, hi) in enumerate(bounds):
+        emb_src.extend(run_group(lo, hi, gi))
 
     out = []
     for ep, ebn in emb_src:
@@ -530,12 +560,21 @@ def main(argv=None):
                  if args.refit_supervised_epochs else "") + " epochs")
         def _parallel_or_seq(arrays, p0, bn0, cfgm, modality, seq_fn, *seq_args):
             if args.fold_parallel:
-                embs = _refit_fold_embeddings_parallel(
-                    args, arrays, source, labels, folds, p0, bn0, cfgm, modality)
-                if embs is not None:
-                    return embs
-                print(f"fold-parallel: {modality} fold plan shapes diverge; "
-                      "falling back to sequential refits")
+                try:
+                    embs = _refit_fold_embeddings_parallel(
+                        args, arrays, source, labels, folds, p0, bn0, cfgm,
+                        modality)
+                    if embs is not None:
+                        return embs
+                    print(f"fold-parallel: {modality} fold plan shapes "
+                          "diverge; falling back to sequential refits")
+                except Exception as e:  # noqa: BLE001 — jaxlib's runtime error type varies
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    print(f"fold-parallel: {modality} replicas exceed device "
+                          "memory (RESOURCE_EXHAUSTED); retry with "
+                          "--fold-parallel-max-replicas, falling back to "
+                          "sequential refits")
             return seq_fn(*seq_args)
 
         if args.joint_checkpoint is not None:

@@ -247,3 +247,45 @@ def test_kfold_eval_cli_refit_fold_parallel_joint(tmp_path, capsys):
     df = pd.read_csv(out / "kf-rig_kfold_knn.csv")
     assert set(df["mode"]) == {"embed_once", "refit"}
     assert set(df["kind"]) == {"joint"}
+
+
+def test_kfold_eval_cli_refit_fold_parallel_grouped(tmp_path, capsys):
+    """--fold-parallel-max-replicas: folds run in sequential replica groups
+    (memory cap for large models); output stays well-formed with no
+    sequential fallback."""
+    import importlib.util
+
+    import jax
+    import pandas as pd
+
+    from hippie_tpu.data import synth
+    from hippie_tpu.models import cvae
+    from hippie_tpu.train import checkpoint as ckpt_mod
+
+    root = tmp_path / "data"
+    synth.make_dataset(str(root), "kf-rig", n=48, num_classes=2, seed=3)
+    for name, out_size, seed in (("wave", 50, 0), ("time", 100, 1)):
+        cfg = cvae.CVAEConfig(z_dim=4, output_size=out_size, num_sources=3,
+                              num_classes=3, num_blocks=(1, 1, 1, 1))
+        p, s = cvae.unimodal_cvae_init(jax.random.PRNGKey(seed), cfg)
+        ckpt_mod.save_lightning_ckpt(str(tmp_path / f"{name}.ckpt"), p, s)
+
+    spec = importlib.util.spec_from_file_location("kfold_eval", "scripts/kfold_eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "out"
+    mod.main([
+        "--dataset", "kf-rig", "--data-root", str(root),
+        "--wave-checkpoint", str(tmp_path / "wave.ckpt"),
+        "--time-checkpoint", str(tmp_path / "time.ckpt"),
+        "--folds", "3", "--output-dir", str(out),
+        "--refit", "--refit-epochs", "2", "--refit-supervised-epochs", "1",
+        "--refit-batch-size", "16", "--refit-patience", "0",
+        "--fold-parallel", "--fold-parallel-max-replicas", "2",
+        "--aot-dir", "",
+    ])
+    stdout = capsys.readouterr().out
+    assert "leakage delta" in stdout
+    assert "falling back to sequential" not in stdout
+    df = pd.read_csv(out / "kf-rig_kfold_knn.csv")
+    assert set(df["mode"]) == {"embed_once", "refit"}
