@@ -99,6 +99,14 @@ def build_parser():
                         "--modality joint, train_model_with_multimodal "
                         "--stage1-joint-ckpt) to train stages 2-3 from the "
                         "swept winner")
+    p.add_argument("--export-all", default=None, metavar="PREFIX",
+                   help="write EVERY replica's best snapshot as "
+                        "PREFIX<k>.ckpt (not just the val winner): pool "
+                        "validation loss is a poor selector for downstream "
+                        "transfer (RESULTS.md round 5 — the best-val lr "
+                        "sweep winner refits WORSE than a higher-val "
+                        "candidate), so screen each candidate with "
+                        "`hippie-tpu kfold --refit` instead")
     return p
 
 
@@ -263,6 +271,31 @@ def main(argv=None):
         print(f"{labels[k]:>18} {res.best_val_loss[k]:12.6f} "
               f"{int(res.best_epoch[k]):10d}{mark}")
 
+    exported_all = None
+    if args.export_all:
+        from hippie_tpu.train import checkpoint as ckpt_mod
+        from hippie_tpu.train.pipeline import _ordering_template
+
+        template = _ordering_template(cfg_m, multimodal=joint)
+        exported_all = []
+        for k in range(K):
+            path = f"{args.export_all}{k}.ckpt"
+            ckpt_mod.save_lightning_ckpt(
+                path,
+                ckpt_mod.reorder_like(template[0],
+                                      ensemble.take_replica(res.best_params, k)),
+                ckpt_mod.reorder_like(template[1],
+                                      ensemble.take_replica(res.best_bn_state, k)),
+                epoch=int(res.best_epoch[k]),
+                hyper_parameters={
+                    "lr": float(lrs[k]),
+                    "best_val_loss": float(res.best_val_loss[k]),
+                    "config": labels[k], "modality": args.modality,
+                },
+            )
+            exported_all.append(path)
+        print(f"exported all {K} replicas -> {args.export_all}{{0..{K-1}}}.ckpt")
+
     exported = None
     if args.export_winner:
         # Winner replica -> Lightning stage-1 ckpt. Dict key order inside
@@ -295,7 +328,7 @@ def main(argv=None):
         "best_epoch": [int(x) for x in res.best_epoch],
         "epochs_run": res.epochs_run,
         "winner": labels[best_k], "winner_lr": lrs[best_k],
-        "exported": exported,
+        "exported": exported, "exported_all": exported_all,
     }))
     return 0
 

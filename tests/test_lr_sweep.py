@@ -3,6 +3,8 @@
 import importlib.util
 import json
 
+import jax
+
 import pytest
 
 from hippie_tpu.data import synth
@@ -245,3 +247,32 @@ def test_export_winner_feeds_pipeline(tmp_path, capsys):
     )
     with pytest.raises(ValueError, match="geometry"):
         run_pipeline(bad)
+
+
+def test_export_all_replicas(synth_root, aot_dir, tmp_path, capsys):
+    """--export-all writes every replica's best snapshot as a loadable
+    Lightning ckpt (pool val loss selects transfer poorly — candidates get
+    screened downstream with kfold --refit instead)."""
+    m = _load_module()
+    prefix = str(tmp_path / "cand_")
+    rc = m.main([
+        "--dataset", "sweep-synth", "--data-root", synth_root, "--pool", "self",
+        "--modality", "wave", "--mode", "seeds", "--n-seeds", "2",
+        "--lr", "1e-3", "--max-epochs", "2", "--batch-size", "16",
+        "--num-blocks", "1,1,1,1", "--z-dim", "4",
+        "--export-all", prefix, "--aot-dir", aot_dir,
+    ])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["exported_all"] == [f"{prefix}0.ckpt", f"{prefix}1.ckpt"]
+
+    from hippie_tpu import export as hexport
+
+    p0, _s0, cfg0 = hexport.load_model_from_ckpt(f"{prefix}0.ckpt", multimodal=False)
+    p1, _s1, _ = hexport.load_model_from_ckpt(f"{prefix}1.ckpt", multimodal=False)
+    assert cfg0.z_dim == 4
+    import numpy as np
+
+    l0 = np.asarray(jax.tree_util.tree_leaves(p0)[0])
+    l1 = np.asarray(jax.tree_util.tree_leaves(p1)[0])
+    assert not np.array_equal(l0, l1)  # independent seeds -> distinct weights
