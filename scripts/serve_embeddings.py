@@ -87,6 +87,14 @@ def build_parser():
                         help="exported multimodal .hippie artifact")
     parser.add_argument("--num-sources", type=int, default=5)
     parser.add_argument("--num-classes", type=int, default=5)
+    parser.add_argument("--aot-dir", type=str,
+                        default=os.path.join(os.path.expanduser("~"), ".cache", "hippie_tpu_aot"),
+                        help="executable AOT cache dir shared with the training "
+                             "pipeline: the warmup ladder's embed + preprocess "
+                             "programs load as serialized executables on a warm "
+                             "restart instead of re-tracing/re-compiling "
+                             "(measured: the dominant cost of the ladder). "
+                             "'' disables")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8477)
     parser.add_argument("--warmup-buckets", type=str, default="512,1024,2048,4096",
@@ -379,16 +387,31 @@ class EmbeddingService:
         # preprocess_pair* is the JITTED entry (ONE dispatch); the per-op
         # functions would run eagerly — multiple ~65 ms round trips per
         # request on the remote-attached chip.
+        # Both preprocess entries ride the AOT executable cache (--aot-dir)
+        # like the embed programs below do: on a warm service restart every
+        # ladder program loads as a serialized executable instead of paying
+        # trace+lower+remote-compile. cache_key hashes arg shapes/dtypes, so
+        # row buckets and (for the exact path) raw widths key distinct
+        # entries; the padded program's raw widths are traced scalars and
+        # share one entry per bucket by design.
+        from hippie_tpu.utils import aot
+
         if padded:
-            wave, isi = preprocess.preprocess_pair_padded(
-                jnp.asarray(wf_p), jnp.asarray(isi_p),
-                _device_interp_matrix(w_raw, preprocess.WAVE_LEN, w_cols),
-                _device_interp_matrix(i_raw, preprocess.ISI_LEN, i_cols),
-                jnp.int32(w_raw), jnp.int32(i_raw), normalize=normalize,
+            wave, isi = aot.maybe_cached_call(
+                preprocess.preprocess_pair_padded,
+                (jnp.asarray(wf_p), jnp.asarray(isi_p),
+                 _device_interp_matrix(w_raw, preprocess.WAVE_LEN, w_cols),
+                 _device_interp_matrix(i_raw, preprocess.ISI_LEN, i_cols),
+                 jnp.int32(w_raw), jnp.int32(i_raw)),
+                f"serve_preprocess_padded|norm={normalize}",
+                {"normalize": normalize},
             )
         else:
-            wave, isi = preprocess.preprocess_pair(
-                jnp.asarray(wf_p), jnp.asarray(isi_p), normalize=normalize
+            wave, isi = aot.maybe_cached_call(
+                preprocess.preprocess_pair,
+                (jnp.asarray(wf_p), jnp.asarray(isi_p)),
+                f"serve_preprocess|norm={normalize}",
+                {"normalize": normalize},
             )
         src = jnp.asarray(src_p)
         if self.mode == "joint":
@@ -564,6 +587,10 @@ class EmbeddingHTTPServer(ThreadingHTTPServer):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if getattr(args, "aot_dir", None):
+        from hippie_tpu.utils import aot
+
+        aot.set_default_dir(args.aot_dir)
     service = EmbeddingService(
         args.wave_checkpoint, args.time_checkpoint,
         z_dim=args.z_dim, num_sources=args.num_sources, num_classes=args.num_classes,

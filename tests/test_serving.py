@@ -463,3 +463,70 @@ def test_live_path_and_warmup_share_bucket_rule(server, monkeypatch):
         assert warm and warm[0] == live[0]
     finally:
         service.embed = orig_embed
+
+
+def test_serving_rides_aot_cache(tmp_path, monkeypatch):
+    """--aot-dir contract: with a default AOT dir configured, the live
+    dispatch path routes BOTH the preprocess program and the embed programs
+    through the executable cache (warm-restart lever: a fresh process loads
+    serialized executables instead of re-tracing the whole warmup ladder),
+    and a second service instance reuses the on-disk entries instead of
+    writing new ones."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import serve_embeddings as se
+
+    from hippie_tpu.utils import aot
+
+    tmp = tmp_path
+    for name, out in (("wave", 50), ("time", 100)):
+        cfg = cvae.CVAEConfig(z_dim=4, output_size=out, num_blocks=(1, 1, 1, 1))
+        p, s = cvae.unimodal_cvae_init(jax.random.PRNGKey(out), cfg)
+        ckpt_mod.save_lightning_ckpt(str(tmp / f"{name}.ckpt"), p, s)
+
+    aot_dir = tmp / "aot"
+    monkeypatch.setattr(aot, "_DEFAULT_DIR", str(aot_dir))
+    descs = []
+    real_call = aot.cached_call
+
+    def recording(fn, args, d, static_desc, lower_kwargs=None):
+        descs.append(static_desc)
+        return real_call(fn, args, d, static_desc, lower_kwargs)
+
+    monkeypatch.setattr(aot, "cached_call", recording)
+
+    orig = cvae.CVAEConfig
+
+    def shallow_cfg(*a, **kw):
+        kw["num_blocks"] = (1, 1, 1, 1)
+        return orig(*a, **kw)
+
+    cvae.CVAEConfig = shallow_cfg
+    try:
+        service = se.EmbeddingService(str(tmp / "wave.ckpt"), str(tmp / "time.ckpt"), z_dim=4)
+    finally:
+        cvae.CVAEConfig = orig
+
+    rng = np.random.default_rng(7)
+    wf = rng.normal(size=(3, 46)).astype(np.float32)
+    isi = np.abs(rng.normal(size=(3, 100))).astype(np.float32)
+    w1, i1, j1, _ = service.embed(wf, isi, 0, False)
+
+    assert any(d.startswith("serve_preprocess") for d in descs), descs
+    assert any(d.startswith("embed_unimodal") for d in descs), descs
+    entries = sorted(f.name for f in aot_dir.iterdir() if f.suffix in (".jexec", ".shlo"))
+    assert entries, "no executable cache entries written"
+
+    # Warm restart: fresh in-process memo, second service — must LOAD the
+    # on-disk entries (no new files) and reproduce the same embeddings.
+    aot._EXEC_MEMO.clear()
+    cvae.CVAEConfig = shallow_cfg
+    try:
+        service2 = se.EmbeddingService(str(tmp / "wave.ckpt"), str(tmp / "time.ckpt"), z_dim=4)
+    finally:
+        cvae.CVAEConfig = orig
+    w2, i2, j2, _ = service2.embed(wf, isi, 0, False)
+    entries2 = sorted(f.name for f in aot_dir.iterdir() if f.suffix in (".jexec", ".shlo"))
+    assert entries2 == entries, (entries, entries2)
+    np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
